@@ -9,14 +9,26 @@ as you implement operators from SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: KG construction over the sf0.001 documents table --
+    scan -> sha256 -> normalize -> chunk (mapInPandas) -> triple extraction
+    -> canonical edge DataFrame. Driver checks rows>0 + stable schema."""
+    from textchunking_and_knowledgegraph_spark.job import docs_as_source
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
+
+    source = docs_as_source(spark, f"{SF0001}/documents.parquet")
+    return build_triples(spark, source)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,94 @@
+"""spark-submit entrypoint: build the KG from a source table.
+
+Usage (cluster):
+    spark-submit --py-files tckg.zip -m textchunking_and_knowledgegraph_spark.job \
+        --source <iceberg-table-or-parquet-path> --fmt iceberg \
+        --output /warehouse/kg --checkpoint /warehouse/kg/_manifest
+
+Locally (sandbox):
+    python -m textchunking_and_knowledgegraph_spark.job \
+        --source /root/testdata/sf0.001/documents.parquet --docs-table \
+        --output /tmp/kg_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from .plans.pipeline import PipelineConfig, build_triples, build_vertices
+from .session import build_session
+from .sources.io import SOURCE_SCHEMA
+
+
+def docs_as_source(spark, path: str):
+    """Adapt the driver's documents table (doc_id, text, lang, source,
+    n_chars) to the canonical source shape (repo, path, commit, lang,
+    content)."""
+    docs = spark.read.parquet(path)
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.lpad(F.lower(F.hex(F.xxhash64("doc_id"))), 40, "0").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="source table path / iceberg name")
+    ap.add_argument("--fmt", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--docs-table", action="store_true",
+                    help="input is the driver documents table, adapt its schema")
+    ap.add_argument("--output", default=None, help="output dir/namespace for vertex+edge tables")
+    ap.add_argument("--checkpoint", default=None, help="commit-manifest dir for resume")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--overlap", type=int, default=0)
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--canonicalize", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = build_session(app_name="tckg-job", master=args.master)
+    cfg = PipelineConfig(
+        overlap=args.overlap,
+        salt_partitions=args.salt_partitions,
+        canonicalize=args.canonicalize,
+    )
+
+    if args.docs_table:
+        source = docs_as_source(spark, args.source)
+    elif args.fmt == "iceberg":
+        source = args.source
+    else:
+        source = spark.read.schema(SOURCE_SCHEMA).parquet(args.source)
+
+    t0 = time.time()
+    triples = build_triples(spark, source, cfg)
+
+    if args.output:
+        from .plans.materialize import materialize_graph
+
+        stats = materialize_graph(
+            triples, args.output, checkpoint_dir=args.checkpoint, spark=spark
+        )
+        n_triples = stats["edges"]
+    else:
+        n_triples = triples.count()
+
+    dt = time.time() - t0
+    print(json.dumps({
+        "triples": n_triples,
+        "seconds": round(dt, 2),
+        "triples_per_sec": round(n_triples / dt, 1) if dt > 0 else None,
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,291 @@
+"""Triple emission: structural tree->triples + code-aware + SVO extractors.
+
+Three triple sources, unioned into the canonical edge shape
+(subj, pred, obj, subj_type, obj_type, repo, path, commit, sha, chunk_id):
+
+G1  Structural triples from the chunk table -- pure column ops, the Spark
+    re-expression of the tree->table flatten at
+    `Parser/TextBook_LumberChunker.py:381-461`:
+      root content:   (chapter  同位  chapter)  + (chapter  文本块  chunk)
+      nested content: (parent   上位  section)  + (section  文本块  chunk)
+    The 文本块 object is the chunk_id (the chunk table holds the text) --
+    the reference inlines the chunk text; we keep the edge table narrow for
+    10^12-scale and join text back only at the parity boundary.
+    Code/text files (no markdown headings) get (path contains_chunk chunk_id).
+
+G5  Code-aware extractors (north-star extension, `BASELINE.json:6`):
+    per-lang regex extraction of imports / defines / calls / inherits,
+    vectorized over Arrow batches of whole-file content.
+
+G5b Rule-based SVO extraction for prose: closed verb vocabulary, capitalized
+    subject heuristic -- deterministic replacement for the reference's
+    per-row LLM knowledge extraction (`Parser/md_paper_parser.py:491-535`).
+
+All extraction is mapInPandas (Arrow) -- no per-row Python through Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.io import TRIPLE_SCHEMA
+
+PRED_PEER = "同位"
+PRED_HYPERNYM = "上位"
+PRED_HYPONYM = "下位"
+PRED_TEXTBLOCK = "文本块"
+PRED_CONTAINS = "contains_chunk"
+
+
+# ---------------------------------------------------------------------------
+# G1: structural triples from the chunk table (no UDF -- pure column algebra)
+# ---------------------------------------------------------------------------
+
+def structural_triples(chunks: DataFrame) -> DataFrame:
+    """Chunk table -> hierarchy + text-block triples.
+
+    Two selects unioned; hierarchy edges deduped per document (the reference
+    emits one row per chunk with the hierarchy inline -- the set semantics of
+    the P/R metric make the dedup safe and it shrinks the edge table).
+    """
+    md = chunks.filter(F.col("level") > 0)
+    flat = chunks.filter(F.col("level") == 0)  # code/text: synthetic root
+
+    prov = [F.col("repo"), F.col("path"), F.col("commit"), F.col("sha")]
+
+    # (chapter 同位 chapter) for root sections / (parent 上位 section) nested
+    hier = (
+        md.select(
+            F.when(F.col("is_root"), F.col("section_title"))
+            .otherwise(F.col("parent_title"))
+            .alias("subj"),
+            F.when(F.col("is_root"), F.lit(PRED_PEER))
+            .otherwise(F.lit(PRED_HYPERNYM))
+            .alias("pred"),
+            F.col("section_title").alias("obj"),
+            F.lit("section").alias("subj_type"),
+            F.lit("section").alias("obj_type"),
+            *prov,
+            F.lit(None).cast("string").alias("chunk_id"),
+        )
+        .dropDuplicates(["subj", "pred", "obj", "sha"])
+    )
+
+    textblock = md.select(
+        F.col("section_title").alias("subj"),
+        F.lit(PRED_TEXTBLOCK).alias("pred"),
+        F.col("chunk_id").alias("obj"),
+        F.lit("section").alias("subj_type"),
+        F.lit("chunk").alias("obj_type"),
+        *prov,
+        F.col("chunk_id"),
+    )
+
+    contains = flat.select(
+        F.col("path").alias("subj"),
+        F.lit(PRED_CONTAINS).alias("pred"),
+        F.col("chunk_id").alias("obj"),
+        F.lit("file").alias("subj_type"),
+        F.lit("chunk").alias("obj_type"),
+        *prov,
+        F.col("chunk_id"),
+    )
+
+    return hier.unionByName(textblock).unionByName(contains)
+
+
+# ---------------------------------------------------------------------------
+# G5: code-aware extractors (per-lang regex, whole-file granularity)
+# ---------------------------------------------------------------------------
+
+_PY_IMPORT = re.compile(r"^\s*import\s+([\w.]+)", re.M)
+_PY_FROM = re.compile(r"^\s*from\s+([\w.]+)\s+import", re.M)
+_PY_CLASS = re.compile(r"^\s*class\s+(\w+)\s*(?:\(([^)]*)\))?\s*:", re.M)
+_PY_DEF = re.compile(r"^(\s*)def\s+(\w+)\s*\(", re.M)
+
+_JS_IMPORT = re.compile(r"""(?:import\s+[^'"]*?from\s+|import\s+|require\s*\(\s*)['"]([^'"]+)['"]""")
+_JS_CLASS = re.compile(r"class\s+(\w+)(?:\s+extends\s+([\w.]+))?")
+_JS_FUNC = re.compile(r"(?:function\s+(\w+)\s*\(|(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s*)?(?:function|\([^)]*\)\s*=>))")
+
+_JAVA_IMPORT = re.compile(r"^\s*import\s+(?:static\s+)?([\w.]+)\s*;", re.M)
+_JAVA_CLASS = re.compile(r"(?:class|interface)\s+(\w+)(?:\s+extends\s+([\w.,\s]+?))?(?:\s+implements\s+[\w.,\s]+)?\s*\{")
+_JAVA_METHOD = re.compile(r"(?:public|private|protected)\s+(?:static\s+)?[\w<>\[\],\s]+?\s+(\w+)\s*\([^)]*\)\s*\{")
+
+_GO_IMPORT_BLOCK = re.compile(r"import\s*\(([^)]*)\)", re.DOTALL)
+_GO_IMPORT_ONE = re.compile(r'^\s*import\s+"([^"]+)"', re.M)
+_GO_IMPORT_LINE = re.compile(r'"([^"]+)"')
+_GO_FUNC = re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)\s*\(", re.M)
+_GO_TYPE = re.compile(r"^type\s+(\w+)\s+(?:struct|interface)", re.M)
+
+_CALL = re.compile(r"\b([a-zA-Z_]\w*)\s*\(")
+_KEYWORDS = {
+    "if", "for", "while", "switch", "return", "def", "class", "func", "function",
+    "catch", "with", "print", "len", "range", "super", "new", "import", "assert",
+    "elif", "else", "try", "except", "raise", "yield", "lambda", "match",
+}
+
+
+def _extract_python(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for m in _PY_IMPORT.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _PY_FROM.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    classes: list[str] = []
+    for m in _PY_CLASS.finditer(content):
+        cls, bases = m.group(1), m.group(2)
+        classes.append(cls)
+        yield (path, "defines", cls, "file", "class")
+        if bases:
+            for b in bases.split(","):
+                b = b.strip().split(".")[-1]
+                if b and b not in ("object", "metaclass"):
+                    yield (cls, "inherits", b, "class", "class")
+    # defs + intra-function calls: track the enclosing def by indentation
+    lines = content.split("\n")
+    current_def: str | None = None
+    current_indent = 0
+    defined: set[str] = set()
+    for m in _PY_DEF.finditer(content):
+        defined.add(m.group(2))
+    for line in lines:
+        dm = re.match(r"^(\s*)def\s+(\w+)\s*\(", line)
+        if dm:
+            current_def = dm.group(2)
+            current_indent = len(dm.group(1))
+            yield (path, "defines", current_def, "file", "function")
+            continue
+        if current_def is not None:
+            stripped = line.strip()
+            if stripped and len(line) - len(line.lstrip()) <= current_indent and not stripped.startswith(("#", ")")):
+                current_def = None
+                continue
+            for cm in _CALL.finditer(line):
+                callee = cm.group(1)
+                if callee in defined and callee != current_def and callee not in _KEYWORDS:
+                    yield (current_def, "calls", callee, "function", "function")
+
+
+def _extract_js(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for m in _JS_IMPORT.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _JS_CLASS.finditer(content):
+        yield (path, "defines", m.group(1), "file", "class")
+        if m.group(2):
+            yield (m.group(1), "inherits", m.group(2).split(".")[-1], "class", "class")
+    for m in _JS_FUNC.finditer(content):
+        name = m.group(1) or m.group(2)
+        if name:
+            yield (path, "defines", name, "file", "function")
+
+
+def _extract_java(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for m in _JAVA_IMPORT.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _JAVA_CLASS.finditer(content):
+        yield (path, "defines", m.group(1), "file", "class")
+        if m.group(2):
+            base = m.group(2).strip().split(",")[0].strip().split(".")[-1]
+            if base:
+                yield (m.group(1), "inherits", base, "class", "class")
+    for m in _JAVA_METHOD.finditer(content):
+        name = m.group(1)
+        if name not in _KEYWORDS:
+            yield (path, "defines", name, "file", "function")
+
+
+def _extract_go(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for block in _GO_IMPORT_BLOCK.finditer(content):
+        for m in _GO_IMPORT_LINE.finditer(block.group(1)):
+            yield (path, "imports", m.group(1), "file", "module")
+    for m in _GO_IMPORT_ONE.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _GO_FUNC.finditer(content):
+        yield (path, "defines", m.group(1), "file", "function")
+    for m in _GO_TYPE.finditer(content):
+        yield (path, "defines", m.group(1), "file", "class")
+
+
+_CODE_EXTRACTORS = {
+    "python": _extract_python,
+    "javascript": _extract_js,
+    "typescript": _extract_js,
+    "java": _extract_java,
+    "go": _extract_go,
+}
+
+# ---------------------------------------------------------------------------
+# G5b: rule-based SVO for prose (closed verb vocabulary)
+# ---------------------------------------------------------------------------
+
+_SVO_VERBS = {
+    "is": "is_a", "are": "is_a", "was": "is_a", "were": "is_a",
+    "has": "has", "have": "has",
+    "uses": "uses", "use": "uses",
+    "contains": "contains", "contain": "contains",
+    "manages": "manages", "manage": "manages",
+    "includes": "includes", "include": "includes",
+    "extends": "extends",
+    "requires": "requires", "require": "requires",
+}
+_SVO_RE = re.compile(
+    r"\b([A-Z][\w]*(?:\s+[A-Z][\w]*)?)\s+"
+    r"(is|are|was|were|has|have|uses|use|contains|contain|manages|manage|"
+    r"includes|include|extends|requires|require)\s+"
+    r"(?:(?:a|an|the)\s+)?([A-Za-z][\w-]*)"
+)
+
+
+def _extract_svo(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for m in _SVO_RE.finditer(content):
+        subj, verb, obj = m.group(1), m.group(2), m.group(3)
+        yield (subj, _SVO_VERBS[verb], obj, "entity", "entity")
+
+
+def content_triples(source: DataFrame) -> DataFrame:
+    """Whole-file extraction pass: code triples for code langs, SVO for
+    prose langs. Runs as one Arrow-batched mapInPandas over the source table
+    (parallel branch to the chunker; both are single-pass, shuffle-free)."""
+    cols = ["repo", "path", "commit", "lang", "sha", "content"]
+    field_names = [f.name for f in TRIPLE_SCHEMA.fields]
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf[cols].to_dict("records"):
+                lang = (row["lang"] or "").lower()
+                content = row["content"] or ""
+                extractor = _CODE_EXTRACTORS.get(lang)
+                trips = (
+                    extractor(row["path"], content)
+                    if extractor
+                    else _extract_svo(row["path"], content)
+                )
+                for subj, pred, obj, st, ot in trips:
+                    out.append(
+                        {
+                            "subj": subj, "pred": pred, "obj": obj,
+                            "subj_type": st, "obj_type": ot,
+                            "repo": row["repo"], "path": row["path"],
+                            "commit": row["commit"], "sha": row["sha"],
+                            "chunk_id": None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=field_names)
+
+    return source.select(*cols).mapInPandas(_map_batches, schema=TRIPLE_SCHEMA)
+
+
+def extract_all_triples(source: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Union of structural (G1) and content (G5) triples, deduplicated on the
+    canonical key. Dedup is a map-side-combinable aggregation (hash partial)."""
+    return (
+        structural_triples(chunks)
+        .unionByName(content_triples(source))
+        .dropDuplicates(["subj", "pred", "obj", "sha"])
+    )

@@ -1,0 +1,97 @@
+"""End-to-end KG-construction plan (the flagship dataflow).
+
+    source (repo, path, commit, lang, content)
+      -> scan (+sha256 invariant, +doc_id, lang filter pushed to files)
+      -> normalize (column expressions, codegen)
+      -> salted repartition (skew control; compute skew, not join skew)
+      -> chunk (mapInPandas, Arrow)                         [branch A]
+      -> structural triples (column algebra)
+      -> content triples (code/SVO extractors, mapInPandas) [branch B]
+      -> union + dedup
+      -> (optional) entity linking (MinHash-LSH) + canonicalization (CC)
+      -> vertex/edge tables
+
+Replaces the reference lifecycle `UserImplementation/UserCommand.py:25-95`
+(interactive, per-file, LLM-in-the-loop) with a declarative Catalyst plan;
+the driver<->executor boundary sits at each shuffle (salt repartition,
+triple dedup, LSH bucket exchange, CC iterations, final write).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_markdown
+from ..operators.chunker import chunk_documents
+from ..operators.extract import extract_all_triples, structural_triples
+from ..sources.io import salted_repartition, scan_source
+
+
+@dataclass
+class PipelineConfig:
+    overlap: int = 0
+    salt_partitions: int | None = None  # None -> leave to AQE/input splits
+    salt_buckets: int = 16
+    normalize_langs: tuple[str, ...] = ("markdown", "text")
+    link_entities: bool = False
+    canonicalize: bool = False
+
+
+def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Scan + sha + doc_id + deterministic normalization (markdown/text only;
+    code content is never rewritten -- sha is raw-content either way)."""
+    cfg = cfg or PipelineConfig()
+    df = scan_source(spark, source)
+    df = df.withColumn(
+        "content",
+        F.when(
+            F.col("lang").isin(*cfg.normalize_langs), normalize_markdown(F.col("content"))
+        ).otherwise(F.col("content")),
+    )
+    if cfg.salt_partitions:
+        df = salted_repartition(df, cfg.salt_partitions, cfg.salt_buckets)
+    return df
+
+
+def build_chunks(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    return chunk_documents(prepared_source(spark, source, cfg), overlap=cfg.overlap)
+
+
+def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The flagship query: source table -> canonical triple table."""
+    cfg = cfg or PipelineConfig()
+    src = prepared_source(spark, source, cfg)
+    chunks = chunk_documents(src, overlap=cfg.overlap)
+    triples = extract_all_triples(src, chunks)
+    if cfg.link_entities or cfg.canonicalize:
+        from ..operators.canonicalize import canonicalize_triples
+
+        triples = canonicalize_triples(triples)
+    return triples
+
+
+def build_vertices(triples: DataFrame) -> DataFrame:
+    """Vertex table = distinct endpoints with their types (MERGE semantics =
+    dropDuplicates before append, `StoreToNeo4j/Neo4j_functions.py:14-21`)."""
+    subj = triples.select(F.col("subj").alias("name"), F.col("subj_type").alias("type"))
+    obj = triples.select(F.col("obj").alias("name"), F.col("obj_type").alias("type"))
+    return (
+        subj.unionByName(obj)
+        .dropDuplicates(["name", "type"])
+        .withColumn("id", F.lower(F.hex(F.xxhash64("name", "type"))))
+        .select("id", "name", "type")
+    )
+
+
+__all__ = [
+    "PipelineConfig",
+    "prepared_source",
+    "build_chunks",
+    "build_triples",
+    "build_vertices",
+    "structural_triples",
+]
