@@ -1,0 +1,79 @@
+"""Entity-linking tests: known alias pairs must link, disjoint strings must
+not; determinism of signatures; top-1 tie-break (SURVEY.md 5.3)."""
+
+from pyspark.sql import functions as F
+
+from textchunking_and_knowledgegraph_spark.operators.linking import (
+    _char_ngrams,
+    _perm_params,
+    _signature,
+    hierarchy_triples,
+    link_entities,
+)
+from textchunking_and_knowledgegraph_spark.sources.synthetic import (
+    synthesize_entity_dictionary,
+)
+
+
+def test_signature_deterministic():
+    a, b = _perm_params(64)
+    s1 = _signature("函数的概念", a, b)
+    s2 = _signature("函数的概念", a, b)
+    assert s1 == s2 and len(s1) == 64
+
+
+def test_signature_similarity_monotone():
+    a, b = _perm_params(128)
+    s_base = _signature("函数的概念与性质", a, b)
+    s_near = _signature("函数的概念与表示", a, b)
+    s_far = _signature("随机抽样方法", a, b)
+    near = sum(x == y for x, y in zip(s_base, s_near))
+    far = sum(x == y for x, y in zip(s_base, s_far))
+    assert near > far
+
+
+def test_link_entities_known_pairs(spark):
+    entities, aliases = synthesize_entity_dictionary()
+    dict_df = spark.createDataFrame(entities)
+    mention_rows = [
+        {"mention": "函数概念"},        # near-dup of 函数的概念
+        {"mention": "函数的单调性"},    # exact
+        {"mention": "等差数列"},        # exact
+        {"mention": "zzqqxxyy"},        # garbage -> no link
+    ]
+    mentions = spark.createDataFrame(mention_rows)
+    links = {r.mention: r.entity for r in link_entities(mentions, dict_df).collect()}
+    assert links["函数的单调性"] == "函数的单调性"
+    assert links["等差数列"] == "等差数列"
+    assert links.get("函数概念", "").startswith("函数的概念")
+    assert "zzqqxxyy" not in links
+
+
+def test_link_deterministic_tiebreak(spark):
+    # two dictionary entries equally similar -> entity asc wins
+    mentions = spark.createDataFrame([{"mention": "alpha beta"}])
+    dict_df = spark.createDataFrame([{"entity": "alpha betb"}, {"entity": "alpha beta"}])
+    out = link_entities(mentions, dict_df, min_score=0.0).collect()
+    assert len(out) == 1 and out[0].entity == "alpha beta"
+
+
+def test_hierarchy_triples(spark):
+    dict_df = spark.createDataFrame(
+        [
+            {"entity": "数学", "domain": "数学实体", "level": 1, "entity_id": 0},
+            {"entity": "函数", "domain": "数学实体", "level": 2, "entity_id": 1},
+            {"entity": "幂函数", "domain": "数学实体", "level": 3, "entity_id": 2},
+            {"entity": "地理", "domain": "地理实体", "level": 1, "entity_id": 3},
+        ]
+    )
+    got = {(r.subj, r.pred, r.obj) for r in hierarchy_triples(dict_df).collect()}
+    assert got == {("数学", "下位", "函数"), ("函数", "下位", "幂函数")}
+
+
+def test_char_ngrams():
+    assert _char_ngrams("abc") == {"ab", "bc"}
+    assert _char_ngrams("a") == {"a"}
+    assert _char_ngrams("  Ab ") == {"ab"}
+    assert _char_ngrams("") == set()
+    # CJK alias pair shares 2-grams (the reason for n=2)
+    assert _char_ngrams("函数概念") & _char_ngrams("函数的概念") == {"函数", "概念"}

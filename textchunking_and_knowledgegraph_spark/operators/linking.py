@@ -1,0 +1,213 @@
+"""Entity linking: MinHash-LSH candidate blocking + exact re-rank, top-1.
+
+Deterministic distributed replacement for the reference's per-row
+retrieval+LLM linking (J1/J2 in SURVEY.md 2.3):
+
+  - question linking: embedding top-5 + LLM pick
+      `EntityLinking/Entity_Linking.py:112-129`,
+      `Dify_DSL/DIFY_Entity_Linking_API.yml:155-219` (top_k 5)
+  - book-title linking: retrieval top-4 + client TF-IDF char-cosine re-rank
+      `EntityLinking/Entity_Linking.py:74-110`,
+      `Dify_DSL/DIFY_Entity_Book_Linking_API.yml:119-134` (top_k 4)
+
+Physical strategy (SURVEY.md 4.3): char-2gram -> n_perm minhash (fixed seeds)
+-> b bands x r rows banding (default 32x2: band-match probability ~0.99 at
+Jaccard 0.4, matching the CJK near-dup families in the reference
+vocabularies -- char-2grams because CJK aliases like 函数概念/函数的概念
+share no 3-gram at all); explode band keys on both sides; hash join on
+(band_id, band_hash); exact char-2gram Jaccard re-rank of survivors;
+row_number()==1 with deterministic tie-break (score desc, entity asc) --
+replicating the reference's argmax-similarity W1 semantics.
+
+The minhash signature is computed by a vectorized pandas UDF (one Arrow batch
+per call); banding/join/re-rank/top-1 are pure DataFrame algebra. The
+dictionary side is small (<=100k) -> its banded form is broadcast, so the only
+shuffle is on the (usually much larger) mention side -- and none at all when
+mentions fit the broadcast threshold.
+
+Hand-rolled rather than pyspark.ml MinHashLSH: deterministic seeds, no MLlib
+model state to checkpoint, banding exposed as plain columns (SURVEY.md 4.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# Fixed linear-permutation parameters: h_i(x) = (a_i * x + b_i) mod p.
+# Generated once from a fixed seed -- never regenerate (determinism contract).
+_P = (1 << 61) - 1  # Mersenne prime
+_N_PERM_DEFAULT = 64
+
+
+def _perm_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _P - 1, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, _P - 1, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def _char_ngrams(text: str, n: int = 2) -> set[str]:
+    t = (text or "").strip().lower()
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def _gram_hash(gram: str) -> int:
+    # stable 8-byte hash (blake2b), independent of PYTHONHASHSEED
+    return int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "big") >> 3
+
+
+def _signature(text: str, a: np.ndarray, b: np.ndarray) -> list[int]:
+    grams = _char_ngrams(text)
+    if not grams:
+        return [0] * len(a)
+    base = np.fromiter((_gram_hash(g) for g in grams), dtype=np.int64, count=len(grams))
+    # (n_perm, n_grams) via broadcasting; object dtype avoided by mod-first math
+    vals = (a[:, None] * (base[None, :] % _P)) % _P
+    vals = (vals + b[:, None]) % _P
+    return vals.min(axis=1).tolist()
+
+
+def with_minhash(df: DataFrame, text_col: str, n_perm: int = _N_PERM_DEFAULT) -> DataFrame:
+    """Attach array<long> minhash signature column ``sig`` (pandas UDF)."""
+    a, b = _perm_params(n_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _signature(t, a, b))
+
+    return df.withColumn("sig", _sig(F.col(text_col)))
+
+
+def banded(df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode the signature into (band_id, band_hash) keys. band_hash is the
+    xxhash of the band's row slice -- a plain column, joinable, AQE-friendly."""
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("sig")[i * rows + j].cast("string") for j in range(rows)
+            ])).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    return (
+        df.withColumn("band", F.explode(F.array(*band_cols)))
+        .withColumn("band_id", F.col("band.band_id"))
+        .withColumn("band_hash", F.col("band.band_hash"))
+        .drop("band", "sig")
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaccard(left: pd.Series, right: pd.Series) -> pd.Series:
+    out = np.empty(len(left), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(left, right)):
+        gx, gy = _char_ngrams(x), _char_ngrams(y)
+        u = len(gx | gy)
+        out[i] = (len(gx & gy) / u) if u else 0.0
+    return pd.Series(out)
+
+
+def link_entities(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    mention_col: str = "mention",
+    entity_col: str = "entity",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 32,
+    min_score: float = 0.30,
+    top_k: int = 1,
+) -> DataFrame:
+    """mentions[mention_col, ...] x dictionary[entity_col, ...] ->
+    [mention, entity, score] top-k links per distinct mention.
+
+    Candidate generation via LSH banding; exact char-3gram Jaccard re-rank;
+    deterministic top-k (score desc, entity asc). Mentions with no candidate
+    above ``min_score`` are absent from the result (the reference returns
+    'None' -- callers left-join and coalesce)."""
+    rows = n_perm // bands
+    m = mentions.select(F.col(mention_col).alias("mention")).filter(
+        F.length(F.trim("mention")) > 0
+    ).distinct()
+    d = dictionary.select(F.col(entity_col).alias("entity")).filter(
+        F.length(F.trim("entity")) > 0
+    ).distinct()
+
+    mb = banded(with_minhash(m, "mention", n_perm), bands, rows)
+    db = banded(with_minhash(d, "entity", n_perm), bands, rows)
+
+    cands = (
+        mb.join(F.broadcast(db), on=["band_id", "band_hash"])
+        .select("mention", "entity")
+        .distinct()
+    )
+    scored = cands.withColumn("score", _jaccard(F.col("mention"), F.col("entity")))
+    w = Window.partitionBy("mention").orderBy(F.desc("score"), F.asc("entity"))
+    return (
+        scored.filter(F.col("score") >= min_score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def link_triples_to_dictionary(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    entity_col: str = "entity",
+    min_score: float = 0.30,
+) -> DataFrame:
+    """Emit (section_title, linked_to, canonical_entity) edges for every
+    section-type subject -- the distributed form of the Entity_self /
+    Entity_father columns at `Parser/TextBook_LumberChunker.py:442-459`."""
+    mentions = triples.filter(F.col("subj_type") == "section").select(
+        F.col("subj").alias("mention")
+    )
+    links = link_entities(mentions, dictionary, entity_col=entity_col, min_score=min_score)
+    return links.select(
+        F.col("mention").alias("subj"),
+        F.lit("linked_to").alias("pred"),
+        F.col("entity").alias("obj"),
+        F.lit("section").alias("subj_type"),
+        F.lit("entity").alias("obj_type"),
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("sha"),
+        F.lit(None).cast("string").alias("chunk_id"),
+    )
+
+
+def hierarchy_triples(dictionary: DataFrame) -> DataFrame:
+    """G2: 下位 (hyponym) triples from dictionary levels -- consecutive
+    non-null hierarchy cells become (shallower 下位 deeper), the scale-out of
+    `EntityLinking/Entity_Linking.py:43-67`."""
+    a = dictionary.select(
+        F.col("entity").alias("subj"), F.col("level").alias("subj_level"),
+        F.col("domain").alias("domain_a"),
+    )
+    b = dictionary.select(
+        F.col("entity").alias("obj"), F.col("level").alias("obj_level"),
+        F.col("domain").alias("domain_b"),
+    )
+    return (
+        a.join(b, (a.domain_a == b.domain_b) & (a.subj_level + 1 == b.obj_level))
+        .select(
+            "subj",
+            F.lit("下位").alias("pred"),
+            "obj",
+            F.col("domain_a").alias("subj_type"),
+            F.col("domain_b").alias("obj_type"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
