@@ -1,0 +1,86 @@
+"""Dedup suite tests: planted duplicates must be found; disjoint docs must not."""
+
+from pyspark.sql import functions as F
+
+from textchunking_and_knowledgegraph_spark.operators.dedup import (
+    _simhash64,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest while the hunter watches quietly from afar "
+    "under the old oak tree near the silver river bend at dawn light"
+)
+
+
+def _docs(spark):
+    rows = [
+        {"doc_id": 1, "text": _BASE},
+        {"doc_id": 2, "text": _BASE},                                   # exact dup of 1
+        {"doc_id": 3, "text": _BASE.replace("quick", "swift")},          # near dup of 1
+        {"doc_id": 4, "text": "completely different content about spark dataframes and shuffles etc"},
+        {"doc_id": 5, "text": ""},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    out = {r.id: (r.group_size, r.keep) for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == (2, True)
+    assert out[2] == (2, False)
+    assert out[3][0] == 1 and out[3][1]
+    assert out[4][1]
+
+
+def test_minhash_near_dups(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_dups(_docs(spark), threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_known_values():
+    a = _simhash64(_BASE)
+    b = _simhash64(_BASE)
+    assert a == b
+    c = _simhash64(_BASE.replace("quick", "swift"))
+    assert bin((a ^ c) & ((1 << 64) - 1)).count("1") <= 12  # near in hamming space
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dups(_docs(spark), max_hamming=12).collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.99, 0.05, 0.0, 0.0]},   # near dup of 1
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0, 0.0]},     # orthogonal
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+
+
+def test_embedding_blocking_recall(spark):
+    # SRP blocking at dim=4 must still find the planted near-dup pair
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.1, 0.0, 0.2]},
+        {"vec_id": 2, "embedding": [0.98, 0.12, 0.01, 0.19]},
+        {"vec_id": 3, "embedding": [-1.0, 0.5, 0.3, -0.2]},
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(df, threshold=0.9, blocking=True, dim=4).collect()}
+    assert (1, 2) in pairs

@@ -1,0 +1,87 @@
+"""Graph-operator tests (J7-J10, A6) on hand-built edge tables."""
+
+from textchunking_and_knowledgegraph_spark.operators.graph import (
+    distinct_entity_count,
+    label_propagation,
+    lowest_common_ancestor,
+    merge_edges,
+    merge_vertices,
+    multi_hop,
+    neighbors,
+)
+
+_EDGES = [
+    ("数学", "下位", "函数"),
+    ("数学", "下位", "集合"),
+    ("函数", "下位", "幂函数"),
+    ("函数", "下位", "指数函数"),
+    ("幂函数", "下位", "二次幂"),
+    ("集合", "下位", "子集"),
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in _EDGES]
+    )
+
+
+def test_neighbors(spark):
+    out = [r.neighbor for r in neighbors(_edges_df(spark), "函数", ["下位"]).collect()]
+    assert out == ["幂函数", "指数函数"]
+    rev = [r.neighbor for r in neighbors(_edges_df(spark), "函数", direction="in").collect()]
+    assert rev == ["数学"]
+
+
+def test_multi_hop(spark):
+    got = {(r.node, r.hop) for r in multi_hop(_edges_df(spark), "数学", max_hops=2).collect()}
+    assert got == {("函数", 1), ("集合", 1), ("幂函数", 2), ("指数函数", 2), ("子集", 2)}
+
+
+def test_multi_hop_bounded(spark):
+    got = {r.node for r in multi_hop(_edges_df(spark), "数学", max_hops=1).collect()}
+    assert got == {"函数", "集合"}
+
+
+def test_lca(spark):
+    # parent edges are (parent 下位 child) -> ancestors walk obj->subj
+    row = lowest_common_ancestor(_edges_df(spark), "二次幂", "指数函数", rel="下位").collect()
+    assert len(row) == 1 and row[0].node == "函数"
+
+
+def test_lca_root(spark):
+    row = lowest_common_ancestor(_edges_df(spark), "子集", "幂函数", rel="下位").collect()
+    assert row[0].node == "数学"
+
+
+def test_merge_semantics(spark):
+    existing = spark.createDataFrame([{"name": "函数", "type": "k"}])
+    incoming = spark.createDataFrame(
+        [{"name": "函数", "type": "k"}, {"name": "集合", "type": "k"}]
+    )
+    merged = merge_vertices(existing, incoming)
+    assert merged.count() == 2
+
+    e1 = _edges_df(spark)
+    merged_e = merge_edges(e1, e1)
+    assert merged_e.count() == e1.count()
+
+
+def test_label_propagation(spark):
+    # two cliques lightly connected: labels converge within cliques
+    edges = spark.createDataFrame(
+        [{"subj": a, "pred": "r", "obj": b}
+         for a, b in [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                      ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]]
+    )
+    labels = spark.createDataFrame(
+        [{"node": n, "label": n} for n in ["a1", "a2", "a3", "b1", "b2", "b3"]]
+    )
+    out = {r.node: r.label for r in label_propagation(edges, labels, rounds=3).collect()}
+    assert len({out["a1"], out["a2"], out["a3"]}) == 1
+    assert len({out["b1"], out["b2"], out["b3"]}) == 1
+    assert out["a1"] != out["b1"]
+
+
+def test_distinct_entity_count(spark):
+    assert distinct_entity_count(_edges_df(spark)) == 7

@@ -1,0 +1,115 @@
+"""Text-analysis function tests + ANN + multimodal plumbing + streaming parity."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from textchunking_and_knowledgegraph_spark.functions import textfns
+from textchunking_and_knowledgegraph_spark.operators.ann import brute_force_topk, srp_topk
+from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+    extract_features,
+    fake_decoder,
+    sample_frames,
+    strict_decoder,
+    synthetic_media,
+)
+
+
+def test_textfns_values(spark):
+    df = spark.createDataFrame(
+        [
+            {"id": 1, "text": "the quick fox. jumps!"},
+            {"id": 2, "text": "函数的概念与性质是数学内容"},
+            {"id": 3, "text": ""},
+        ]
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            textfns.token_count(F.col("text")).alias("tc"),
+            textfns.language_id(F.col("text")).alias("lang"),
+            textfns.fingerprint(F.col("text")).alias("fp"),
+            textfns.token_estimate(F.col("text")).alias("te"),
+        ).collect()
+    }
+    assert out[1].tc == 4
+    assert out[1].lang == "en"
+    assert out[2].lang == "zh"
+    assert out[2].te == 13  # all-CJK (13 chars): one token per char
+    assert out[3].tc == 0
+    assert len(out[1].fp) == 32
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [{"id": 1, "text": "Hello   World"}, {"id": 2, "text": "hello world"}]
+    )
+    fps = [r.fp for r in df.select(textfns.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def _emb_df(spark):
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.9, 0.1, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 0.9, 0.2, 0.0]},
+        {"vec_id": 4, "embedding": [-1.0, 0.0, 0.1, 0.0]},
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk(spark):
+    corpus = _emb_df(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(corpus, queries, k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]  # nearest first
+    assert out[0].rank == 1 and out[0].cosine > 0.98
+
+
+def test_srp_topk_finds_near(spark):
+    corpus = _emb_df(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = srp_topk(corpus, queries, k=2, dim=4, n_planes=4, n_probe=4).collect()
+    assert any(r.vec_id == 1 for r in out)  # the true nearest survives blocking
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 12
+    assert (feats["width"] >= 64).all() and (feats["height"] >= 64).all()
+    assert feats["feature"].map(len).eq(16).all()
+    img = feats[feats["kind"] == "image"]
+    assert (img["n_frames"] == 1).all()
+    # determinism
+    feats2 = extract_features(media).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+
+
+def test_multimodal_strict_decoder_raises(spark):
+    media = synthetic_media(spark, n=3)
+    try:
+        extract_features(media, decoder=strict_decoder()).collect()
+        raised = False
+    except Exception as e:  # Py4J wraps the NotImplementedError
+        raised = "NotImplementedError" in str(e) or "real media codecs" in str(e)
+    assert raised
+
+
+def test_sample_frames_shape(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_n=8).toPandas()
+    feats = extract_features(media.filter(F.col("kind") == "video")).toPandas()
+    expected = sum((n + 7) // 8 for n in feats["n_frames"])
+    assert len(frames) == expected
+    assert (frames["frame_idx"] % 8 == 0).all()

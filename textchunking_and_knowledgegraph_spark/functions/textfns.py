@@ -1,0 +1,86 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen) -- each is
+also expressible in ANSI SQL so the DuckDB oracle can verify it 1:1:
+
+  token_count       whitespace tokenization count
+  token_estimate    BPE-ish size estimate (latin chars/4 + CJK chars)
+  language_id       n-gram/script heuristic (CJK ratio)
+  quality metrics   punct ratio, stopword ratio, mean word length
+  fingerprint       md5 of whitespace-normalized lowercase text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_CJK_RANGE = r"[一-鿿]"
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "be", "this", "that", "are", "was", "from",
+]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (regexp_count of non-space runs)."""
+    return F.regexp_count(col, F.lit(r"\S+")).alias("token_count")
+
+
+def token_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: ceil(latin_chars / 4) + cjk_chars (each CJK
+    char is ~1 token in most BPE vocabularies)."""
+    cjk = F.regexp_count(col, F.lit(_CJK_RANGE))
+    latin = F.length(col) - cjk
+    return (F.ceil(latin / F.lit(4.0)) + cjk).cast("long")
+
+
+def cjk_ratio(col: Column) -> Column:
+    return F.when(F.length(col) > 0, F.regexp_count(col, F.lit(_CJK_RANGE)) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def language_id(col: Column) -> Column:
+    """Deterministic script heuristic: zh if >30% CJK chars, else en if any
+    latin letters, else 'unknown'."""
+    return (
+        F.when(cjk_ratio(col) > 0.3, F.lit("zh"))
+        .when(F.regexp_count(col, F.lit("[A-Za-z]")) > 0, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.when(
+        F.length(col) > 0,
+        F.regexp_count(col, F.lit(r"[\.,;:!\?\(\)\[\]\{\}\"'`]")) / F.length(col),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    total = F.size(toks)
+    return F.when(total > 0, stop / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    n = F.regexp_count(col, F.lit(r"\S+"))
+    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.when(n > 0, chars / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme punct ratio, very
+    short docs, and stopword-free (likely non-natural) text. Weights frozen."""
+    length_ok = F.when(F.length(col) >= 200, F.lit(1.0)).otherwise(F.length(col) / F.lit(200.0))
+    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5)
+    stop_ok = F.least(F.lit(1.0), stopword_ratio(col) * 4)
+    return F.round(length_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of lowercase whitespace-collapsed text --
+    the cheap exact-dup key (rolling-hash stand-in, deterministic)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

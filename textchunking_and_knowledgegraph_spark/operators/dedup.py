@@ -1,0 +1,254 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies over a document table (id, text), each returning DataFrames
+that compose into keep/drop decisions. All scale paths avoid O(N^2):
+candidate generation is hash/LSH blocking; only survivors get exact scoring.
+
+  exact           -- sha256 groupBy (one shuffle, map-side combinable)
+  minhash_lsh     -- shingle -> minhash -> band -> bucket join -> Jaccard verify
+  simhash         -- 64-bit simhash, banded hamming blocking
+  ngram_jaccard   -- exact n-gram Jaccard verify over LSH candidates
+  embedding       -- cosine near-dup over an embedding column (sign-LSH blocking)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .linking import banded, with_minhash
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, sha, group_size, keep]: keep = min id per identical-content group.
+    Single hash aggregation; no UDF."""
+    withsha = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha")
+    )
+    groups = withsha.groupBy("sha").agg(
+        F.count("*").alias("group_size"), F.min("id").alias("keeper")
+    )
+    return (
+        withsha.join(groups, "sha")
+        .select("id", "sha", "group_size", (F.col("id") == F.col("keeper")).alias("keep"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH near-dup (word shingles)
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text: str, k: int = 3) -> set[str]:
+    words = (text or "").lower().split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _shingle_text(text: str, k: int = 3) -> str:
+    # reuse the char-ngram minhash machinery by feeding it a canonical
+    # whitespace-joined form; shingling happens in the jaccard verify below
+    return " ".join((text or "").lower().split())
+
+
+@F.pandas_udf(T.DoubleType())
+def _shingle_jaccard(left: pd.Series, right: pd.Series) -> pd.Series:
+    out = np.empty(len(left), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(left, right)):
+        gx, gy = _word_shingles(x), _word_shingles(y)
+        u = len(gx | gy)
+        out[i] = (len(gx & gy) / u) if u else 0.0
+    return pd.Series(out)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs [id_a < id_b, jaccard >= threshold].
+
+    shingle -> minhash (pandas UDF) -> band keys -> self-join on
+    (band_id, band_hash) -> exact word-shingle Jaccard verify. 16x4 banding:
+    ~97% pair recall at J=0.7, collapsing fast below 0.5 -- candidates stay
+    near-linear in corpus size."""
+    rows = n_perm // bands
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sigs = with_minhash(base, "text", n_perm)
+    bd = banded(sigs, bands, rows)
+    pairs = (
+        bd.alias("l")
+        .join(bd.alias("r"), on=["band_id", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.text").alias("text_a"), F.col("r.text").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    words = (text or "").lower().split()
+    for w in words:
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # signed for LongType
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash64)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming. Blocking: split the 64-bit
+    hash into 4 16-bit bands -- any pair within hamming 3 shares at least one
+    exact band (pigeonhole), so the self-join is on band equality, not O(N^2)."""
+    base = with_simhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col)), text_col
+    ).select("id", "simhash")
+    bands = base.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), on=["band_id", "band_val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact verify over LSH candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Same LSH blocking as minhash_near_dups, lower verify threshold --
+    exposed separately because the verify metric (word 3-gram Jaccard) is the
+    contract, not the blocking."""
+    return minhash_near_dups(df, id_col, text_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (sign-LSH blocking at scale, exact verify)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int = 16) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def with_sign_bucket(df: DataFrame, emb_col: str = "embedding", dim: int = 64, n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane (SRP) bucket id: 2^n_planes buckets; cosine-similar
+    vectors collide with high probability. Deterministic planes (seed 7)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())
+        signs = (mat @ planes.T) > 0
+        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
+        return pd.Series(vals)
+
+    return df.withColumn("bucket", _bucket(F.col(emb_col)))
+
+
+def cosine_expr(a, b):
+    """JVM-side cosine similarity over two array<float> columns via
+    higher-order functions -- no Python, stays in codegen."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    blocking: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. ``blocking=True`` adds SRP bucket
+    equality as the join key (the 10^12-scale path: near-linear candidates,
+    recall traded by n_planes); False is the exact O(N^2) verify used for
+    small N and for recall measurement."""
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    if blocking:
+        base = with_sign_bucket(base, "emb", dim=dim)
+        l, r = base.alias("l"), base.alias("r")
+        cand = l.join(r, on=["bucket"]).filter(F.col("l.id") < F.col("r.id"))
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        cand = l.join(r, F.col("l.id") < F.col("r.id"))
+    sim = cosine_expr(F.col("l.emb"), F.col("r.emb"))
+    return (
+        cand.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), sim.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,156 @@
+"""Graph query operators over the materialized vertex/edge tables.
+
+DataFrame re-expressions of the reference's Cypher reads
+(`StoreToNeo4j/Neo4j_functions.py`): every Neo4j MATCH becomes an equi hash
+join against the edge table; the dictionary/vertex side broadcasts.
+
+  J7  head/tail neighbor lookups with limits   `Neo4j_functions.py:45-67,99-139`
+  J8  bounded multi-hop traversal              `Neo4j_functions.py:142-153`
+  J9  lowest common ancestor                   `Neo4j_functions.py:181-202`
+  J10 MERGE = anti-join insert                 `Neo4j_functions.py:14-31`
+  A6  label-propagation community vote         `Neo4j_functions.py:156-166`
+  A4  distinct entity count                    `Neo4j_functions.py:34-40`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def neighbors(
+    edges: DataFrame,
+    name: str,
+    rels: list[str] | None = None,
+    direction: str = "out",
+    limit: int = 10,
+) -> DataFrame:
+    """J7/W2: `MATCH (n {name})-[r:T]->(m) RETURN m LIMIT k` and the reverse.
+    Multi-label disjunction = isin()."""
+    df = edges
+    if rels:
+        df = df.filter(F.col("pred").isin(rels))
+    if direction == "out":
+        df = df.filter(F.col("subj") == name).select(
+            F.col("obj").alias("neighbor"), F.col("pred")
+        )
+    else:
+        df = df.filter(F.col("obj") == name).select(
+            F.col("subj").alias("neighbor"), F.col("pred")
+        )
+    return df.orderBy("neighbor").limit(limit)
+
+
+def multi_hop(
+    edges: DataFrame,
+    start: str,
+    rels: list[str] | None = None,
+    max_hops: int = 3,
+) -> DataFrame:
+    """J8: variable-length traversal <= max_hops with relation whitelist.
+    Iterative frontier self-join (BFS), dedup per hop; frontier is tiny
+    relative to the edge table -> broadcast the frontier side."""
+    e = edges.select("subj", "obj", "pred")
+    if rels:
+        e = e.filter(F.col("pred").isin(rels))
+    e = e.persist()
+    try:
+        frontier = e.sparkSession.createDataFrame(
+            [(start, 0)], "node string, hop int"
+        )
+        seen = frontier
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                e.join(F.broadcast(frontier), e.subj == frontier.node)
+                .select(F.col("obj").alias("node"), F.lit(hop).alias("hop"))
+                .distinct()
+                .join(seen.select("node"), "node", "left_anti")
+            ).localCheckpoint()
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return seen.filter(F.col("hop") > 0)
+    finally:
+        e.unpersist()
+
+
+def ancestors(edges: DataFrame, start: str, rel: str, max_hops: int = 10) -> DataFrame:
+    """Frontier expansion along reversed `rel` edges (child -> parent)."""
+    parents = edges.filter(F.col("pred") == rel).select(
+        F.col("obj").alias("node"), F.col("subj").alias("parent")
+    )
+    return multi_hop(
+        parents.select(F.col("node").alias("subj"), F.col("parent").alias("obj"),
+                       F.lit(rel).alias("pred")),
+        start,
+        max_hops=max_hops,
+    ).withColumnRenamed("hop", "depth")
+
+
+def lowest_common_ancestor(
+    edges: DataFrame, a: str, b: str, rel: str = "上位", max_hops: int = 10
+) -> DataFrame:
+    """J9/W4: two ancestor expansions, intersect, deepest wins (max combined
+    depth from the two leaves = the reference's `ORDER BY size() DESC LIMIT 1`
+    applied to path length)."""
+    aa = ancestors(edges, a, rel, max_hops).withColumnRenamed("depth", "depth_a")
+    bb = ancestors(edges, b, rel, max_hops).withColumnRenamed("depth", "depth_b")
+    return (
+        aa.join(bb, "node")
+        .orderBy(F.asc(F.col("depth_a") + F.col("depth_b")), F.asc("node"))
+        .limit(1)
+        .select("node", "depth_a", "depth_b")
+    )
+
+
+def merge_vertices(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """J10: MERGE semantics -- insert only vertices not already present
+    (left_anti on the natural key), then append."""
+    new = incoming.join(existing, ["name", "type"], "left_anti")
+    return existing.unionByName(new)
+
+
+def merge_edges(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    key = ["subj", "pred", "obj"]
+    new = incoming.dropDuplicates(key).join(existing, key, "left_anti")
+    return existing.unionByName(new)
+
+
+def label_propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """A6/W3: one round of the community vote -- each node adopts its
+    neighbors' most frequent label (freq desc, label asc tie-break), keeping
+    its own when it has no labeled neighbor."""
+    sym = edges.select(F.col("subj").alias("node"), F.col("obj").alias("nbr")).unionByName(
+        edges.select(F.col("obj").alias("node"), F.col("subj").alias("nbr"))
+    )
+    votes = (
+        sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("freq"), F.asc("label"))
+    winners = votes.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        "node", F.col("label").alias("new_label")
+    )
+    return (
+        labels.join(winners, "node", "left")
+        .select("node", F.coalesce("new_label", "label").alias("label"))
+    )
+
+
+def label_propagation(edges: DataFrame, labels: DataFrame, rounds: int = 5) -> DataFrame:
+    for _ in range(rounds):
+        labels = label_propagation_round(edges, labels).localCheckpoint()
+    return labels
+
+
+def distinct_entity_count(edges: DataFrame) -> int:
+    """A4: `list(set(entities))` scale-out."""
+    return (
+        edges.select(F.col("subj").alias("n"))
+        .unionByName(edges.select(F.col("obj").alias("n")))
+        .distinct()
+        .count()
+    )
