@@ -77,29 +77,67 @@ def minhash_near_dups(
     threshold: float = 0.7,
     n_perm: int = 64,
     bands: int = 16,
+    max_bucket: int = 200,
+    sig_margin: float = 0.2,
 ) -> DataFrame:
     """Near-duplicate pairs [id_a < id_b, jaccard >= threshold].
 
-    shingle -> minhash (pandas UDF) -> band keys -> self-join on
-    (band_id, band_hash) -> exact word-shingle Jaccard verify. 16x4 banding:
-    ~97% pair recall at J=0.7, collapsing fast below 0.5 -- candidates stay
-    near-linear in corpus size."""
+    shingle -> minhash (pandas UDF, once per doc) -> band keys -> self-join
+    on (band_id, band_hash) -> JVM-side signature-similarity prefilter ->
+    exact word-shingle Jaccard verify on the survivors only. 16x4 banding:
+    ~97% pair recall at J=0.7, collapsing fast below 0.5.
+
+    Scale guards (the 100 TB story):
+      * ``max_bucket``: band buckets larger than this are dropped before the
+        self-join -- a crowded bucket is a degenerate/boilerplate signature
+        whose pair count grows O(k^2); true near-dups still collide in their
+        other (bands-1) bands. Standard skew cap for web-scale dedup.
+      * signature prefilter: estimated Jaccard = fraction of equal minhash
+        components, computed with zip_with/filter (whole-stage codegen, no
+        Python); only pairs within ``sig_margin`` of the threshold reach the
+        exact per-pair verify UDF, so Python touches near-final pairs only.
+    """
     rows = n_perm // bands
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "id")
     sigs = with_minhash(base, "text", n_perm)
-    bd = banded(sigs, bands, rows)
+    bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
+
+    # skew cap: drop degenerate buckets before the quadratic self-join
+    bucket_sizes = bd.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
+    bd = bd.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
+        on=["band_id", "band_hash"],
+    )
+
     pairs = (
         bd.alias("l")
         .join(bd.alias("r"), on=["band_id", "band_hash"])
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.text").alias("text_a"), F.col("r.text").alias("text_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sig_cols = sigs.select(
+        F.col("id"), F.col("sig"), F.col("text")
+    )
+    joined = (
+        pairs.join(sig_cols.select(F.col("id").alias("id_a"),
+                                   F.col("sig").alias("sig_a"),
+                                   F.col("text").alias("text_a")), "id_a")
+        .join(sig_cols.select(F.col("id").alias("id_b"),
+                              F.col("sig").alias("sig_b"),
+                              F.col("text").alias("text_b")), "id_b")
+    )
+    sig_sim = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(n_perm))
+    survivors = joined.filter(sig_sim >= threshold - sig_margin).repartition(par)
     return (
-        pairs.withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
+        survivors.withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
