@@ -64,10 +64,13 @@ def drop_image_lines(col: Column) -> Column:
 
 def normalize_markdown(col: Column) -> Column:
     """Book-path normalizer applied before parsing+chunking: publisher noise
-    drop + OCR line repair + T1 width translate. Identity-preserving in
-    spirit (the reference's correction prompt: "fix md syntax, change nothing
-    else"); notably NO dot respacing, which belongs to the paper path."""
-    return translate_fullwidth(dehyphenate(drop_publisher_noise(col)))
+    drop + T1 width translate. Identity-preserving in spirit (the
+    reference's correction prompt: "fix md syntax, change nothing else");
+    notably NO dot respacing and NO newline de-hyphenation/CJK fusing --
+    both are paper-path repairs (`md_paper_parser.py:52-59,190-198`), and
+    CJK line-fusing would merge a CJK-ending heading with its body line,
+    destroying the section tree (caught by tests/test_reference_shape.py)."""
+    return translate_fullwidth(drop_publisher_noise(col))
 
 
 def normalize_paper(col: Column) -> Column:

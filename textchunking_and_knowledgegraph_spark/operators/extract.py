@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.io import TRIPLE_SCHEMA
 
@@ -287,5 +288,188 @@ def extract_all_triples(source: DataFrame, chunks: DataFrame) -> DataFrame:
     return (
         structural_triples(chunks)
         .unionByName(content_triples(source))
+        .dropDuplicates(["subj", "pred", "obj", "sha"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass extraction (the 100 TB hot path)
+#
+# build_triples' naive shape ships every document's content into Python TWICE
+# (chunker branch + content-extractor branch) and ships all chunk text back
+# through Arrow even though triple emission never reads it. The fused pass
+# sends content to Python exactly once and returns one compact row per doc:
+# chunk-span metadata + content triples as arrays. Everything downstream
+# (explode, union, dedup) is JVM column algebra. Measured: ~2x end-to-end on
+# the flagship pipeline, and the Arrow return shrinks from O(corpus bytes) to
+# O(#chunks * ~100 bytes) -- the property that matters when the input is
+# 100 TB and the UDF boundary is the bottleneck.
+# ---------------------------------------------------------------------------
+
+_SPAN_FIELDS = ["ord", "level", "parent_title", "section_title", "is_root",
+                "section_kind", "char_start", "char_len"]
+
+DOC_FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("sha", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("ord", T.IntegerType(), False),
+                        T.StructField("level", T.IntegerType(), False),
+                        T.StructField("parent_title", T.StringType(), True),
+                        T.StructField("section_title", T.StringType(), True),
+                        T.StructField("is_root", T.BooleanType(), False),
+                        T.StructField("section_kind", T.StringType(), False),
+                        T.StructField("char_start", T.LongType(), False),
+                        T.StructField("char_len", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField(
+            "trips",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("subj", T.StringType(), False),
+                        T.StructField("pred", T.StringType(), False),
+                        T.StructField("obj", T.StringType(), False),
+                        T.StructField("subj_type", T.StringType(), True),
+                        T.StructField("obj_type", T.StringType(), True),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def doc_facts(source: DataFrame, overlap: int = 0) -> DataFrame:
+    """One fused Arrow pass per document: chunk spans + content triples."""
+    from .chunker import _chunk_row
+
+    cols = ["repo", "path", "commit", "lang", "sha", "doc_id", "content"]
+    field_names = [f.name for f in DOC_FACTS_SCHEMA.fields]
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf[cols].to_dict("records"):
+                spans = [
+                    {k: c[k] for k in _SPAN_FIELDS} for c in _chunk_row(row, overlap)
+                ]
+                lang = (row["lang"] or "").lower()
+                content = row["content"] or ""
+                extractor = _CODE_EXTRACTORS.get(lang)
+                trip_iter = (
+                    extractor(row["path"], content)
+                    if extractor
+                    else _extract_svo(row["path"], content)
+                )
+                trips = [
+                    {"subj": s, "pred": p, "obj": o, "subj_type": st, "obj_type": ot}
+                    for s, p, o, st, ot in trip_iter
+                ]
+                out.append(
+                    {
+                        "repo": row["repo"], "path": row["path"],
+                        "commit": row["commit"], "lang": row["lang"],
+                        "sha": row["sha"], "doc_id": row["doc_id"],
+                        "spans": spans, "trips": trips,
+                    }
+                )
+            yield pd.DataFrame(out, columns=field_names)
+
+    return source.select(*cols).mapInPandas(_map_batches, schema=DOC_FACTS_SCHEMA)
+
+
+def triples_from_facts(facts: DataFrame) -> DataFrame:
+    """JVM-side triple assembly over the fused facts table -- semantically
+    identical to ``extract_all_triples(source, chunk_documents(source))``
+    (asserted by tests/test_extract_fused.py).
+
+    SINGLE-SCAN construction: a union of per-kind branches would re-execute
+    the upstream mapInPandas once per branch (Catalyst does not dedupe common
+    UDF subtrees without an exchange). Instead every document's triples are
+    assembled as one array with higher-order functions (transform / filter /
+    concat -- whole-stage codegen) and exploded once; the final
+    dropDuplicates on (subj, pred, obj, sha) also subsumes the per-doc
+    hierarchy dedup the chunk-table path does separately."""
+    null_triple = F.lit(None).cast(
+        "struct<subj:string,pred:string,obj:string,"
+        "subj_type:string,obj_type:string,chunk_id:string>"
+    )
+
+    def _triple(subj, pred, obj, st, ot, chunk_id):
+        return F.struct(
+            subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+            F.lit(st).alias("subj_type"), F.lit(ot).alias("obj_type"),
+            chunk_id.alias("chunk_id"),
+        )
+
+    def _chunk_id(s):
+        return F.concat_ws(":", F.col("doc_id"), s["ord"].cast("string"))
+
+    # (chapter 同位 chapter) root / (parent 上位 section) nested -- md only
+    hier = F.filter(
+        F.transform(
+            "spans",
+            lambda s: F.when(
+                s["level"] > 0,
+                _triple(
+                    F.when(s["is_root"], s["section_title"]).otherwise(s["parent_title"]),
+                    F.when(s["is_root"], F.lit(PRED_PEER)).otherwise(F.lit(PRED_HYPERNYM)),
+                    s["section_title"],
+                    "section", "section",
+                    F.lit(None).cast("string"),
+                ),
+            ).otherwise(null_triple),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # (section 文本块 chunk) for md spans / (path contains_chunk chunk) flat
+    block = F.transform(
+        "spans",
+        lambda s: F.when(
+            s["level"] > 0,
+            _triple(s["section_title"], F.lit(PRED_TEXTBLOCK), _chunk_id(s),
+                    "section", "chunk", _chunk_id(s)),
+        ).otherwise(
+            _triple(F.col("path"), F.lit(PRED_CONTAINS), _chunk_id(s),
+                    "file", "chunk", _chunk_id(s))
+        ),
+    )
+    # content triples (code/SVO) -- types carried from the extractor
+    content = F.transform(
+        "trips",
+        lambda t: F.struct(
+            t["subj"].alias("subj"), t["pred"].alias("pred"), t["obj"].alias("obj"),
+            t["subj_type"].alias("subj_type"), t["obj_type"].alias("obj_type"),
+            F.lit(None).cast("string").alias("chunk_id"),
+        ),
+    )
+
+    hier_struct = F.explode(F.concat(hier, block, content)).alias("e")
+    return (
+        facts.select("repo", "path", "commit", "sha", "doc_id", hier_struct)
+        .select(
+            F.col("e.subj").alias("subj"),
+            F.col("e.pred").alias("pred"),
+            F.col("e.obj").alias("obj"),
+            F.col("e.subj_type").alias("subj_type"),
+            F.col("e.obj_type").alias("obj_type"),
+            F.col("repo"), F.col("path"), F.col("commit"), F.col("sha"),
+            F.col("e.chunk_id").alias("chunk_id"),
+        )
         .dropDuplicates(["subj", "pred", "obj", "sha"])
     )

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_markdown
 from ..operators.chunker import chunk_documents
-from ..operators.extract import extract_all_triples, structural_triples
+from ..operators.extract import (
+    doc_facts,
+    extract_all_triples,
+    structural_triples,
+    triples_from_facts,
+)
 from ..sources.io import salted_repartition, scan_source
 
 
@@ -62,11 +67,19 @@ def build_chunks(spark: SparkSession, source, cfg: PipelineConfig | None = None)
 
 
 def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
-    """The flagship query: source table -> canonical triple table."""
+    """The flagship query: source table -> canonical triple table.
+
+    Uses the fused single-pass extractor (``doc_facts``): content crosses the
+    Arrow boundary exactly once per document and only compact span/triple
+    arrays come back -- the unfused two-branch plan
+    (``extract_all_triples(src, chunk_documents(src))``) ships the corpus
+    into Python twice and all chunk text back, which is the bottleneck at
+    scale. Equivalence of the two plans is asserted in tests.
+    """
     cfg = cfg or PipelineConfig()
     src = prepared_source(spark, source, cfg)
-    chunks = chunk_documents(src, overlap=cfg.overlap)
-    triples = extract_all_triples(src, chunks)
+    facts = doc_facts(src, overlap=cfg.overlap)
+    triples = triples_from_facts(facts)
     if cfg.link_entities or cfg.canonicalize:
         from ..operators.canonicalize import canonicalize_triples
 

@@ -1,0 +1,97 @@
+"""Physical-plan audit: assert the plans we want, not just the results.
+
+For each audited query: capture .explain('formatted') and check
+plan-shape expectations -- filters pushed to the parquet scan, column
+pruning (ReadSchema), broadcast joins where a side is small, no Exchange
+where none is needed, WholeStageCodegen coverage.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exit 1 if any expectation fails (greppable FAIL lines).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = [
+    # (query, [(must_contain, why)], [(must_not_contain, why)])
+    ("q01_filter_project",
+     [("PushedFilters: [IsNotNull(lang), EqualTo(lang,zh)]", "lang filter pushed to scan"),
+      ("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>",
+       "only needed columns read")],
+     [("Exchange", "no shuffle for filter+project")]),
+    ("q10_pricing_summary",
+     [("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "date filter pushed"),
+      ("partial_sum", "map-side partial aggregation"),
+      ("HashAggregate", "hash aggregation (codegen-capable), not sort-based")],
+     []),
+    ("q11_revenue_by_nation",
+     [("BroadcastHashJoin", "small dims broadcast"),
+      ("partial_sum", "map-side combine")],
+     [("SortMergeJoin", "no sort-merge join for broadcastable dims")]),
+    ("q12_anti_join",
+     [("BroadcastHashJoin", "anti join broadcasts the key side")],
+     []),
+    ("q14_top_order_per_cust",
+     [("WindowGroupLimit", "rank<=1 pushed below the shuffle as a group limit"),
+      ("Window", "window operator present")],
+     []),
+    ("q26_star_revenue",
+     [("BroadcastHashJoin", "customer dim broadcast")],
+     []),
+    ("q29_events_filtered_agg",
+     [("PushedFilters: [IsNotNull(value), In(event_type, [click,purchase]), GreaterThan(value,10.0)]",
+       "compound predicate fully pushed")],
+     []),
+    ("kg_triples",
+     [("MapInPandas", "fused UDF pass present"),
+      ("Generate", "JVM-side triple explode"),
+      ("partial_first", "map-side partial dedup aggregation")],
+     []),
+]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entry_mod
+    from textchunking_and_knowledgegraph_spark.session import build_session
+
+    spark = build_session(app_name="explain-audit")
+    qs = entry_mod.queries()
+    failures = 0
+    import re
+
+    for name, must, must_not in CHECKS:
+        plan = plan_of(qs[name](spark, sf_dir))
+        udf_count = len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython|BatchEvalPython)", plan))
+        if name == "kg_triples" and udf_count != 1:
+            failures += 1
+            print(f"FAIL {name}: expected exactly 1 python stage, saw {udf_count}")
+        n_exchanges = plan.count("Exchange")
+        for needle, why in must:
+            if needle not in plan:
+                failures += 1
+                print(f"FAIL {name}: missing [{needle}] ({why})")
+        for needle, why in must_not:
+            if needle in plan:
+                failures += 1
+                print(f"FAIL {name}: unwanted [{needle}] ({why})")
+        print(f"OK   {name}: exchanges={n_exchanges} python_stages={udf_count}")
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
