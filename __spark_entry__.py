@@ -392,6 +392,42 @@ def q29_events_filtered_agg(spark, sf_dir):
     )
 
 
+def q31_fuzzy_search(spark, sf_dir):
+    """ES fuzzy_search analog (`ES_Importer/es_importer.py:62-73`): edit
+    distance <= 1 against a probe term, JVM levenshtein."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.levenshtein(F.col("p_brand"), F.lit("Brand#33")) <= 1)
+        .select("p_partkey", "p_brand")
+    )
+
+
+def q32_match_phrase(spark, sf_dir):
+    """ES match_phrase analog (`ES_Importer/es_importer.py:53-60`): exact
+    phrase containment + per-source hit counts."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").contains("spark table"))
+        .groupBy("source")
+        .agg(F.count("*").alias("hits"))
+    )
+
+
+_VOCAB = ["spark", "vector", "window", "stream"]
+
+
+def q33_vocab_containment(spark, sf_dir):
+    """J3: controlled-vocabulary containment join (broadcast nested loop) --
+    which dictionary terms occur in each document."""
+    from textchunking_and_knowledgegraph_spark.operators.paper import (
+        vocabulary_matches,
+    )
+
+    return vocabulary_matches(
+        _t(spark, sf_dir, "documents"), _VOCAB, text_col="text", id_cols=("doc_id",)
+    )
+
+
 def q30_normalize_markdown(spark, sf_dir):
     """Composed normalizer T1+T2+F9/F10 (column expressions only)."""
     from textchunking_and_knowledgegraph_spark.functions.normalize import (
@@ -407,6 +443,67 @@ def q30_normalize_markdown(spark, sf_dir):
 # Non-SQL-expressible pipeline ops (rows-only driver check; full semantics
 # covered in tests/ with golden fixtures)
 # ===========================================================================
+
+_PAPER_TEMPLATE = """# 【{year}年模拟卷{idx}】阅读理解
+
+## {idx}. 阅读下面材料，回答问题。材料编号{idx}。
+A. 选项一 B. 选项二 C. 选项三 D. 选项四
+【答案】{ans}
+【解析】本题考查{kw}。材料来自第{idx}篇文章。
+
+# 第二部分 简答
+
+## {idx2}. 论述下列问题。
+### 分析{kw}的基本性质。
+### 说明{kw}的应用场景。
+【答案】见解析
+【解析】本题考查{kw}与相关概念。
+"""
+
+
+def _paper_source(spark):
+    """Deterministic synthetic exam papers (reference paper grammar)."""
+    kws = ["函数的单调性", "等差数列", "平面向量", "概率的基本性质"]
+    rows = [
+        (
+            "papers",
+            f"exam/p{i}.md",
+            f"{i:06x}" * 5,
+            "markdown",
+            _PAPER_TEMPLATE.format(
+                year=2015 + i, idx=i + 1, idx2=i + 101,
+                ans="ABCD"[i % 4], kw=kws[i % len(kws)],
+            ),
+        )
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def paper_questions(spark, sf_dir):
+    """Paper pipeline (T4-T7/F5-F6/J5): exam markdown -> typed question
+    table. Self-contained deterministic fixture corpus."""
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+
+    return parse_papers(prepared_source(spark, _paper_source(spark)))
+
+
+def paper_knowledge_edges(spark, sf_dir):
+    """G4/J3: question -> 考查 knowledge edges via vocabulary containment."""
+    from textchunking_and_knowledgegraph_spark.operators.paper import (
+        parse_papers,
+        question_knowledge_edges,
+        vocabulary_matches,
+    )
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+
+    qs = parse_papers(prepared_source(spark, _paper_source(spark)))
+    vocab = ["函数的单调性", "等差数列", "平面向量", "概率的基本性质"]
+    return question_knowledge_edges(qs, vocabulary_matches(qs, vocab))
+
 
 def kg_chunks(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
@@ -525,7 +622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_distinct_count": q28_distinct_count,
         "q29_events_filtered_agg": q29_events_filtered_agg,
         "q30_normalize_markdown": q30_normalize_markdown,
+        "q31_fuzzy_search": q31_fuzzy_search,
+        "q32_match_phrase": q32_match_phrase,
+        "q33_vocab_containment": q33_vocab_containment,
         # pipeline ops (rows-only)
+        "paper_questions": paper_questions,
+        "paper_knowledge_edges": paper_knowledge_edges,
         "kg_chunks": kg_chunks,
         "kg_triples": kg_triples,
         "kg_vertices": kg_vertices,
@@ -742,6 +844,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS ord
             FROM events
+        """,
+        "q31_fuzzy_search": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE levenshtein(p_brand, 'Brand#33') <= 1
+        """,
+        "q32_match_phrase": """
+            SELECT source, COUNT(*) AS hits FROM documents
+            WHERE contains(text, 'spark table')
+            GROUP BY source
+        """,
+        "q33_vocab_containment": """
+            SELECT DISTINCT doc_id, term
+            FROM documents, (VALUES ('spark'), ('vector'), ('window'), ('stream')) AS v(term)
+            WHERE contains(text, term)
         """,
         "q28_distinct_count": """
             SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events

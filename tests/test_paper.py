@@ -1,0 +1,87 @@
+"""Paper pipeline: question segmentation, 【答案】/【解析】 extraction,
+source-tag extraction, sub-question split, type classification, vocabulary
+containment join (SURVEY.md §2 T4-T7/F5-F6/J3/J5)."""
+
+from pyspark.sql import functions as F
+
+from textchunking_and_knowledgegraph_spark.operators.paper import (
+    parse_papers,
+    question_knowledge_edges,
+    vocabulary_matches,
+)
+from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+
+_PAPER = """# 【2019年全国卷I】完形填空
+
+Read the following passage and choose the best answer.
+
+## 1. The author went to the store because he wanted to buy some food.
+A. apples B. books C. pens D. cars
+【答案】A
+【解析】本题考查细节理解。从第一段可知作者去商店买吃的。
+
+# 第二部分 阅读理解
+
+## 2. What is the main idea of the passage?
+A. Travel B. Science C. History D. Art
+【答案】B
+【解析】主旨大意题。文章讨论科学发现。
+
+# 三、非选择简答部分
+
+## 3. 阅读下列材料，回答问题。
+### 分析函数的单调性并证明。
+### 求函数的定义域。
+【答案】见解析
+【解析】本题考查函数的单调性与定义域。
+"""
+
+
+def _source(spark):
+    return spark.createDataFrame(
+        [("papers", "exam/2019.md", "beef01", "markdown", _PAPER)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def _questions(spark):
+    return parse_papers(prepared_source(spark, _source(spark)))
+
+
+def test_question_count_and_split(spark):
+    qs = _questions(spark).collect()
+    # q1, q2, and q3 split into two sub-questions = 4 rows
+    assert len(qs) == 4
+    subs = [q.question for q in qs if q.q_index >= 2]
+    assert any("单调性" in s for s in subs)
+    assert any("定义域" in s for s in subs)
+
+
+def test_answer_analysis_extraction(spark):
+    qs = {q.q_index: q for q in _questions(spark).collect()}
+    assert qs[0].answer == "A"
+    assert "细节理解" in qs[0].analysis
+    assert qs[1].answer == "B"
+    assert qs[2].answer == "见解析"
+
+
+def test_source_tag_and_type(spark):
+    qs = sorted(_questions(spark).collect(), key=lambda q: q.q_index)
+    assert qs[0].source_tag == "2019年全国卷I"
+    assert qs[0].question_type == "完形填空"
+    assert qs[1].question_type == "阅读理解"
+    assert qs[2].question_type == "非选择题" and not qs[2].is_choice
+
+
+def test_vocabulary_matches_and_edges(spark):
+    qs = _questions(spark)
+    vocab = ["函数的单调性", "定义域", "细节理解", "主旨大意"]
+    m = vocabulary_matches(qs, vocab, text_col="analysis")
+    got = {(r.q_index, r.term) for r in m.collect()}
+    assert (0, "细节理解") in got
+    assert (1, "主旨大意") in got
+    # both sub-questions of q3 share the analysis mentioning both terms
+    assert (2, "函数的单调性") in got and (2, "定义域") in got
+    edges = question_knowledge_edges(qs, m)
+    assert edges.filter(F.col("pred") == "考查").count() == len(got)
+    assert edges.select("subj_type").distinct().collect()[0].subj_type == "question"
