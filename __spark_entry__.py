@@ -571,6 +571,89 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, queries, k=5)
 
 
+def _dict_edges(spark):
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        hierarchy_triples,
+    )
+    from textchunking_and_knowledgegraph_spark.sources.synthetic import (
+        synthesize_entity_dictionary,
+    )
+
+    dict_rows, _ = synthesize_entity_dictionary(seed=42)
+    return hierarchy_triples(spark.createDataFrame(dict_rows))
+
+
+def dict_hierarchy(spark, sf_dir):
+    """G2: 下位 hierarchy triples from consecutive dictionary levels."""
+    return _dict_edges(spark)
+
+
+def graph_neighbors(spark, sf_dir):
+    """J7/W2: neighbor lookup with relation whitelist + limit."""
+    from textchunking_and_knowledgegraph_spark.operators.graph import neighbors
+
+    return neighbors(_dict_edges(spark), "函数的概念", rels=["下位"], limit=10)
+
+
+def graph_lca(spark, sf_dir):
+    """J9/W4: lowest common ancestor via two frontier expansions. Probe
+    nodes: the first two level-2 entities of the seeded dictionary (both are
+    下位-children of every level-1 entity, so an LCA always exists)."""
+    from textchunking_and_knowledgegraph_spark.operators.graph import (
+        lowest_common_ancestor,
+    )
+    from textchunking_and_knowledgegraph_spark.sources.synthetic import (
+        synthesize_entity_dictionary,
+    )
+
+    dict_rows, _ = synthesize_entity_dictionary(seed=42)
+    lvl2 = [d["entity"] for d in dict_rows
+            if d["level"] == 2 and d["domain"] == "数学实体"][:2]
+    return lowest_common_ancestor(
+        _dict_edges(spark), lvl2[0], lvl2[1], rel="下位", max_hops=4
+    )
+
+
+def graph_label_prop(spark, sf_dir):
+    """A6/W3: label-propagation community rounds over the hierarchy graph."""
+    from pyspark.sql import functions as SF
+
+    from textchunking_and_knowledgegraph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _dict_edges(spark)
+    nodes = (
+        edges.select(SF.col("subj").alias("node"))
+        .union(edges.select(SF.col("obj").alias("node")))
+        .distinct()
+        .withColumn("label", SF.col("node"))
+    )
+    return label_propagation(edges, nodes, rounds=2)
+
+
+def textbook_question_table(spark, sf_dir):
+    """F4/T7/F6/A8: exercise-question extraction over the chunk table of a
+    deterministic textbook fixture."""
+    from textchunking_and_knowledgegraph_spark.operators.textbook_questions import (
+        textbook_questions,
+    )
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
+
+    book = (
+        "# 第一章 集合\n集合是数学的基本概念。本节介绍集合的表示方法。\n"
+        "## 练习\n1．求下列集合的并集。\n(1) A={1,2} (2) B={2,3}\n"
+        "2．判断下列说法是否正确。\n集合的元素具有互异性。\n"
+        "## 1.2 集合的运算\n交集与并集满足交换律。\n"
+        "## 复习题\n3．证明德摩根定律。\nA. 正确 B. 错误\n"
+    )
+    src = spark.createDataFrame(
+        [("books", "math/b1.md", "c1", "markdown", book)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return textbook_questions(build_chunks(spark, src))
+
+
 def graph_multi_hop(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.operators.graph import multi_hop
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
@@ -637,6 +720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_srp_topk": ann_srp_topk,
         "graph_multi_hop": graph_multi_hop,
+        "graph_neighbors": graph_neighbors,
+        "graph_lca": graph_lca,
+        "graph_label_prop": graph_label_prop,
+        "dict_hierarchy": dict_hierarchy,
+        "textbook_question_table": textbook_question_table,
         "mm_features": mm_features,
     }
 

@@ -77,3 +77,37 @@ def test_char_ngrams():
     assert _char_ngrams("") == set()
     # CJK alias pair shares 2-grams (the reason for n=2)
     assert _char_ngrams("函数概念") & _char_ngrams("函数的概念") == {"函数", "概念"}
+
+
+def test_tfidf_cosine_pairwise_values():
+    """Pin the reference's pairwise char-TF-IDF semantics
+    (`Entity_Linking.py:104-110`): identical strings -> 1.0, disjoint -> 0.0,
+    lowercasing applies, and the 函数的概念/函数概念 family scores the
+    hand-computed smooth-idf value."""
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        _pair_char_tfidf_cosine,
+    )
+
+    assert _pair_char_tfidf_cosine("abc", "abc") == 1.0
+    assert _pair_char_tfidf_cosine("abc", "xyz") == 0.0
+    assert _pair_char_tfidf_cosine("ABC", "abc") == 1.0
+    assert abs(_pair_char_tfidf_cosine("函数的概念", "函数概念") - 0.81818) < 1e-4
+    assert _pair_char_tfidf_cosine("", "abc") == 0.0
+
+
+def test_link_entities_tfidf_scorer(spark):
+    """J2 path: the TF-IDF re-rank links the alias families and prefers the
+    closest surface form deterministically."""
+    from textchunking_and_knowledgegraph_spark.operators.linking import link_entities
+
+    dictionary = spark.createDataFrame(
+        [("函数的概念",), ("函数的单调性",), ("等差数列",)], "entity string"
+    )
+    mentions = spark.createDataFrame(
+        [("函数概念",), ("函数的单调性质",), ("等差数列",)], "mention string"
+    )
+    got = {r.mention: r.entity for r in
+           link_entities(mentions, dictionary, scorer="tfidf_cosine").collect()}
+    assert got["函数概念"] == "函数的概念"
+    assert got["函数的单调性质"] == "函数的单调性"
+    assert got["等差数列"] == "等差数列"

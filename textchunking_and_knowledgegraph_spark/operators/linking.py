@@ -118,6 +118,35 @@ def _jaccard(left: pd.Series, right: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _pair_char_tfidf_cosine(a: str, b: str) -> float:
+    """Pairwise char-TF-IDF cosine similarity, exactly the reference's
+    `_tfidf_cosine_distance` (`EntityLinking/Entity_Linking.py:104-110`):
+    sklearn TfidfVectorizer(analyzer='char') fit on JUST the pair --
+    lowercased chars (spaces included), smooth idf ln((1+n)/(1+df))+1 with
+    n=2, l2 norm -- re-implemented in numpy so sklearn isn't a runtime dep
+    and results are bit-deterministic."""
+    a, b = (a or "").lower(), (b or "").lower()
+    if not a or not b:
+        return 0.0
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    vocab = sorted(set(ca) | set(cb))
+    df = np.array([(ch in ca) + (ch in cb) for ch in vocab], dtype=np.float64)
+    idf = np.log(3.0 / (1.0 + df)) + 1.0
+    va = np.array([ca.get(ch, 0) for ch in vocab], dtype=np.float64) * idf
+    vb = np.array([cb.get(ch, 0) for ch in vocab], dtype=np.float64) * idf
+    na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(min(1.0, va @ vb / (na * nb)))
+
+
+@F.pandas_udf(T.DoubleType())
+def _tfidf_cosine(left: pd.Series, right: pd.Series) -> pd.Series:
+    return pd.Series([_pair_char_tfidf_cosine(x, y) for x, y in zip(left, right)])
+
+
 def link_entities(
     mentions: DataFrame,
     dictionary: DataFrame,
@@ -127,14 +156,19 @@ def link_entities(
     bands: int = 32,
     min_score: float = 0.30,
     top_k: int = 1,
+    scorer: str = "jaccard",
 ) -> DataFrame:
     """mentions[mention_col, ...] x dictionary[entity_col, ...] ->
     [mention, entity, score] top-k links per distinct mention.
 
-    Candidate generation via LSH banding; exact char-3gram Jaccard re-rank;
+    Candidate generation via LSH banding; exact re-rank by ``scorer`` --
+    'jaccard' (char-ngram, the default) or 'tfidf_cosine' (the reference's
+    pairwise char-TF-IDF cosine, J2 `Entity_Linking.py:94-110`);
     deterministic top-k (score desc, entity asc). Mentions with no candidate
     above ``min_score`` are absent from the result (the reference returns
     'None' -- callers left-join and coalesce)."""
+    if scorer not in ("jaccard", "tfidf_cosine"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     rows = n_perm // bands
     m = mentions.select(F.col(mention_col).alias("mention")).filter(
         F.length(F.trim("mention")) > 0
@@ -151,7 +185,8 @@ def link_entities(
         .select("mention", "entity")
         .distinct()
     )
-    scored = cands.withColumn("score", _jaccard(F.col("mention"), F.col("entity")))
+    score_udf = _jaccard if scorer == "jaccard" else _tfidf_cosine
+    scored = cands.withColumn("score", score_udf(F.col("mention"), F.col("entity")))
     w = Window.partitionBy("mention").orderBy(F.desc("score"), F.asc("entity"))
     return (
         scored.filter(F.col("score") >= min_score)
