@@ -428,6 +428,36 @@ def q33_vocab_containment(spark, sf_dir):
     )
 
 
+def q34_sessionize(spark, sf_dir):
+    """Gap-based sessionization, declarative batch form (lag + cumulative
+    boundary sum) -- the batch-parity twin of the applyInPandasWithState
+    stateful operator in streaming/sessionize.py."""
+    from textchunking_and_knowledgegraph_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=3600).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+def stream_event_counts(spark, sf_dir):
+    """REAL Structured Streaming: events parquet consumed as a
+    Trigger.AvailableNow file stream -> watermark -> tumbling window ->
+    memory sink; returns the drained result (rows-only: the oracle-verified
+    batch twin is q20)."""
+    import tempfile
+
+    from textchunking_and_knowledgegraph_spark.streaming.events import (
+        stream_events_available_now,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="tckg_stream_ck_")
+    return stream_events_available_now(
+        spark, f"{sf_dir}/events.parquet", ckpt, out_table="tckg_stream_counts"
+    )
+
+
 def q30_normalize_markdown(spark, sf_dir):
     """Composed normalizer T1+T2+F9/F10 (column expressions only)."""
     from textchunking_and_knowledgegraph_spark.functions.normalize import (
@@ -708,7 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_fuzzy_search": q31_fuzzy_search,
         "q32_match_phrase": q32_match_phrase,
         "q33_vocab_containment": q33_vocab_containment,
+        "q34_sessionize": q34_sessionize,
         # pipeline ops (rows-only)
+        "stream_event_counts": stream_event_counts,
         "paper_questions": paper_questions,
         "paper_knowledge_edges": paper_knowledge_edges,
         "kg_chunks": kg_chunks,
@@ -946,6 +978,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, term
             FROM documents, (VALUES ('spark'), ('vector'), ('window'), ('stream')) AS v(term)
             WHERE contains(text, term)
+        """,
+        "q34_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "q28_distinct_count": """
             SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events

@@ -33,12 +33,21 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 def stream_events_available_now(
-    spark: SparkSession, events_dir: str, checkpoint_dir: str, out_table: str = "stream_counts"
+    spark: SparkSession, events_path: str, checkpoint_dir: str, out_table: str = "stream_counts"
 ) -> DataFrame:
     """Read the events parquet as an AvailableNow file stream, aggregate, sink
-    to an in-memory table, and block until done. Returns the result table."""
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    to an in-memory table, and block until done. Returns the result table.
+    ``events_path`` may be a directory or a single parquet file (file
+    streams require a directory source, so a file is read via its parent
+    with a glob filter)."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    stream = reader.parquet(events_path)
     agg = windowed_event_counts(stream)
     q = (
         agg.writeStream.outputMode("complete")
