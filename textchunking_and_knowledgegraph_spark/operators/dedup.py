@@ -13,6 +13,7 @@ candidate generation is hash/LSH blocking; only survivors get exact scoring.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -103,7 +104,10 @@ def minhash_near_dups(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par, "id")
-    sigs = with_minhash(base, "text", n_perm)
+    # checkpoint: the signature UDF feeds the band self-join AND two
+    # sig-lookup joins -- without a materialization barrier Catalyst
+    # re-executes the Python stage once per branch
+    sigs = with_minhash(base, "text", n_perm).localCheckpoint(eager=False)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
     # skew cap: drop degenerate buckets before the quadratic self-join
@@ -147,15 +151,23 @@ def minhash_near_dups(
 # simhash
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1 << 20)
+def _word_signbits(w: str) -> np.ndarray:
+    """+-1 bit vector of a word's 64-bit blake2b hash. Cached: token
+    distributions are Zipfian, so within an executor the hot vocabulary hits
+    the cache and the per-word hashing cost amortizes to ~0."""
+    h = np.uint64(
+        int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    )
+    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    return np.where(bits == 1, np.int64(1), np.int64(-1))
+
+
 def _simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
     words = (text or "").lower().split()
-    for w in words:
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+    if not words:
+        return -(1 << 63)
+    acc = np.sum([_word_signbits(w) for w in words], axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

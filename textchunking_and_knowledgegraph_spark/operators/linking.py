@@ -31,6 +31,7 @@ model state to checkpoint, banding exposed as plain columns (SURVEY.md 4.2).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -61,8 +62,10 @@ def _char_ngrams(text: str, n: int = 2) -> set[str]:
     return {t[i : i + n] for i in range(len(t) - n + 1)}
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def _gram_hash(gram: str) -> int:
-    # stable 8-byte hash (blake2b), independent of PYTHONHASHSEED
+    # stable 8-byte hash (blake2b), independent of PYTHONHASHSEED; cached --
+    # char-ngram vocabularies are tiny relative to corpus size
     return int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "big") >> 3
 
 
