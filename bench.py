@@ -102,6 +102,13 @@ def main() -> int:
             .agg(F.count("*").alias("n"))
         )
 
+    def q_sessionize():
+        from textchunking_and_knowledgegraph_spark.streaming.sessionize import (
+            sessionize_batch,
+        )
+
+        return sessionize_batch(t("events"), gap_seconds=3600)
+
     benches = {
         "kg_triples": q_kg_triples,
         "kg_vertices": q_kg_vertices,
@@ -112,6 +119,7 @@ def main() -> int:
         "star_revenue": q_star_revenue,
         "pricing_summary": q_pricing_summary,
         "event_hourly": q_event_hourly,
+        "sessionize": q_sessionize,
     }
 
     # warm the JVM + parquet footers once (excluded from the timed window)

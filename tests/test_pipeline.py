@@ -79,3 +79,34 @@ def test_deterministic_rerun(spark):
     a = {tuple(r) for r in build_triples(spark, src).select("subj", "pred", "obj", "sha").collect()}
     b = {tuple(r) for r in build_triples(spark, src).select("subj", "pred", "obj", "sha").collect()}
     assert a == b
+
+
+def test_full_kg_with_linking_and_canonicalization(spark):
+    """Flagship integrated path: triples + dictionary linking (J1/J2) +
+    connected-components canonicalization in one plan."""
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import PipelineConfig
+
+    src, _ = corpus_df(spark)
+    # dictionary = a sample of the corpus's own section titles (guaranteed
+    # linkable) -- mirrors the reference where the vocabulary and the books
+    # share surface forms
+    titles = [
+        r.section_title
+        for r in build_chunks(spark, src)
+        .filter(F.col("level") > 0)
+        .select("section_title")
+        .distinct()
+        .limit(12)
+        .collect()
+    ]
+    dictionary = spark.createDataFrame([(t,) for t in titles], "entity string")
+    cfg = PipelineConfig(link_entities=True, canonicalize=True, dictionary=dictionary)
+    triples = build_triples(spark, src, cfg).cache()
+    linked = triples.filter(F.col("pred") == "linked_to")
+    assert linked.count() > 0
+    ents = set(titles)
+    for r in linked.select("obj").distinct().collect():
+        assert r.obj in ents
+    # canonicalization keeps the edge-key dedup invariant
+    n = triples.count()
+    assert triples.dropDuplicates(["subj", "pred", "obj", "sha"]).count() == n

@@ -43,6 +43,7 @@ class PipelineConfig:
     normalize_langs: tuple[str, ...] = ("markdown", "text")
     link_entities: bool = False
     canonicalize: bool = False
+    dictionary: DataFrame | None = None  # entity dictionary for J1/J2 linking
 
 
 def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -80,6 +81,11 @@ def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None
     src = prepared_source(spark, source, cfg)
     facts = doc_facts(src, overlap=cfg.overlap)
     triples = triples_from_facts(facts)
+    if cfg.link_entities and cfg.dictionary is not None:
+        from ..operators.linking import link_triples_to_dictionary
+
+        linked = link_triples_to_dictionary(triples, cfg.dictionary)
+        triples = triples.unionByName(linked)
     if cfg.link_entities or cfg.canonicalize:
         from ..operators.canonicalize import canonicalize_triples
 
