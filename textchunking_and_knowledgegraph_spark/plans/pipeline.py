@@ -59,6 +59,15 @@ def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = No
     )
     if cfg.salt_partitions:
         df = salted_repartition(df, cfg.salt_partitions, cfg.salt_buckets)
+    else:
+        # engine default: a source with fewer splits than cores (single
+        # parquet file, small table) would serialize the UDF stages -- salt
+        # it up to the session parallelism. Large inputs already have
+        # >= parallelism splits, so this is a no-op exactly when the
+        # shuffle would be expensive.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = salted_repartition(df, par, cfg.salt_buckets)
     return df
 
 
