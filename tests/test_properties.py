@@ -1,0 +1,111 @@
+"""Property-based invariants (SURVEY.md §5.3) beyond the chunker's existing
+hypothesis test: normalizer idempotence, dedup exactness, sessionization
+structure. Pure-Python properties run hypothesis directly; Spark-backed ones
+sample deterministically (a SparkSession per hypothesis example is too
+slow, so Spark properties use a fixed seeded batch through one job)."""
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_CJK = "函数概念集合表示方法性质单调奇偶的与及第章节练习复题"
+_ALPHABET = string.ascii_letters + string.digits + " \n#．（），。！？" + _CJK
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=400))
+def test_normalize_markdown_idempotent_py(text):
+    """Applying the book-path normalizer twice == once (column expressions
+    mirrored in pure python for speed)."""
+    import re
+
+    def norm(t: str) -> str:
+        t = re.sub(r"(?m)^#+\s*人民教育出版社.*\n?", "", t)
+        t = t.translate(str.maketrans("．（），", ".(),"))
+        return t
+
+    assert norm(norm(text)) == norm(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=300), st.text(alphabet=_ALPHABET, max_size=300))
+def test_tfidf_cosine_bounds_and_symmetry(a, b):
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        _pair_char_tfidf_cosine,
+    )
+
+    s = _pair_char_tfidf_cosine(a, b)
+    assert 0.0 <= s <= 1.0
+    assert abs(s - _pair_char_tfidf_cosine(b, a)) < 1e-12
+    if a and a.strip():
+        assert _pair_char_tfidf_cosine(a, a) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHABET, min_size=0, max_size=50), max_size=20))
+def test_simhash_deterministic_and_range(words_list):
+    from textchunking_and_knowledgegraph_spark.operators.dedup import _simhash64
+
+    text = " ".join(words_list)
+    a, b = _simhash64(text), _simhash64(text)
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+def test_exact_dedup_partition_invariants(spark):
+    """keep marks exactly one row per sha group; group sizes sum to N."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        # force duplicate groups
+        text = f"doc body {rng.randint(0, 40)}"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from textchunking_and_knowledgegraph_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(df).cache()
+    assert out.count() == 200
+    per_group = out.groupBy("sha").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers"),
+        F.count("*").alias("n"),
+        F.first("group_size").alias("gs"),
+    )
+    for r in per_group.collect():
+        assert r.keepers == 1
+        assert r.n == r.gs
+
+
+def test_sessionize_batch_invariants(spark):
+    """Sessions partition each user's events; bounds ordered; no session
+    contains an internal gap > threshold and consecutive sessions are
+    separated by > threshold."""
+    rng = random.Random(11)
+    rows = []
+    t = 0
+    for user in range(5):
+        t = 0
+        for _ in range(60):
+            t += rng.choice([10, 60, 2000, 4000])
+            rows.append((user, t, 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    from textchunking_and_knowledgegraph_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    sess = sessionize_batch(df, gap_seconds=1800).collect()
+    assert sum(s.n_events for s in sess) == len(rows)
+    by_user = {}
+    for s in sess:
+        assert s.session_start <= s.session_end
+        by_user.setdefault(s.user_id, []).append(s)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s.session_start)
+        for prev, nxt in zip(ss, ss[1:]):
+            gap = (nxt.session_start - prev.session_end).total_seconds()
+            assert gap > 1800, (user, prev, nxt)

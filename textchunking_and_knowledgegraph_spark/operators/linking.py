@@ -131,6 +131,8 @@ def _pair_char_tfidf_cosine(a: str, b: str) -> float:
     a, b = (a or "").lower(), (b or "").lower()
     if not a or not b:
         return 0.0
+    if a == b:
+        return 1.0
     from collections import Counter
 
     ca, cb = Counter(a), Counter(b)
