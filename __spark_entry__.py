@@ -541,6 +541,16 @@ def kg_chunks(spark, sf_dir):
     return build_chunks(spark, _docs_source(spark, sf_dir))
 
 
+def kg_chunk_stats(spark, sf_dir):
+    """A1/S11: chunk-length mean/variance + histogram per (repo, lang)."""
+    from textchunking_and_knowledgegraph_spark.operators.chunker import (
+        chunk_length_stats,
+    )
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
+
+    return chunk_length_stats(build_chunks(spark, _docs_source(spark, sf_dir)))
+
+
 def kg_triples(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
 
@@ -744,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paper_questions": paper_questions,
         "paper_knowledge_edges": paper_knowledge_edges,
         "kg_chunks": kg_chunks,
+        "kg_chunk_stats": kg_chunk_stats,
         "kg_triples": kg_triples,
         "kg_vertices": kg_vertices,
         "kg_canonical_triples": kg_canonical_triples,

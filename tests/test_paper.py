@@ -85,3 +85,43 @@ def test_vocabulary_matches_and_edges(spark):
     edges = question_knowledge_edges(qs, m)
     assert edges.filter(F.col("pred") == "考查").count() == len(got)
     assert edges.select("subj_type").distinct().collect()[0].subj_type == "question"
+
+
+_GEO_PAPER = """# 【2020年地理模拟】一、选择题
+
+1. 下列关于季风气候的说法正确的是？
+A. 冬季多雨 B. 夏季多雨 C. 全年干旱 D. 全年多雨
+【答案】B
+【解析】本题考查季风气候的特点。
+
+2. 河流侵蚀作用最强的河段是？
+A. 上游 B. 中游 C. 下游 D. 入海口
+【答案】A
+【解析】本题考查河流侵蚀作用。
+
+# 二、综合题
+
+## 3. 分析图中区域的地形特征。
+【答案】以山地为主
+【解析】本题考查地形判读。
+"""
+
+
+def test_geo_grammar_numbered_questions(spark):
+    """GEO-style parts: numbered questions directly under the # header (no
+    ## anchors) are segmented with per-question answers."""
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+
+    src = spark.createDataFrame(
+        [("papers", "exam/geo.md", "feed02", "markdown", _GEO_PAPER)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    qs = sorted(parse_papers(prepared_source(spark, src)).collect(),
+                key=lambda q: q.q_index)
+    assert len(qs) == 3
+    assert qs[0].answer == "B" and "季风" in qs[0].analysis
+    assert qs[1].answer == "A"
+    assert qs[2].answer == "以山地为主"
+    assert qs[0].source_tag == "2020年地理模拟"
+    assert qs[0].is_choice and not qs[2].is_choice

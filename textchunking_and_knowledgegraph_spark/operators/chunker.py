@@ -278,3 +278,34 @@ def chunk_documents(source: DataFrame, overlap: int = 0) -> DataFrame:
             yield pd.DataFrame(out, columns=field_names)
 
     return source.select(*cols).mapInPandas(_map_batches, schema=CHUNK_SCHEMA)
+
+
+def chunk_length_stats(chunks: DataFrame) -> DataFrame:
+    """A1/S11 (`Parser/ChunkingStat.py:11-41`): chunk-length mean/variance +
+    a 100-char-bucket histogram, per (repo, lang). Exact integer sums first,
+    one double division -- order-invariant, map-side combinable."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        chunks.groupBy("repo", "lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("char_len").alias("sum_len"),
+            F.sum(F.col("char_len").cast("long") * F.col("char_len")).alias("sum_sq"),
+            F.sort_array(
+                F.collect_set((F.floor(F.col("char_len") / 100) * 100).cast("int"))
+            ).alias("len_buckets"),
+        )
+    )
+    return agg.select(
+        "repo", "lang", "n_chunks", "sum_len",
+        F.round(F.col("sum_len").cast("double") / F.col("n_chunks"), 4).alias("mean_len"),
+        F.when(
+            F.col("n_chunks") > 1,
+            F.round(
+                (F.col("sum_sq").cast("double")
+                 - F.col("sum_len").cast("double") * F.col("sum_len") / F.col("n_chunks"))
+                / (F.col("n_chunks") - 1), 4),
+        ).otherwise(F.lit(0.0)).alias("var_len"),
+        "len_buckets",
+    )

@@ -94,7 +94,14 @@ def _parse_doc(row: dict) -> Iterator[dict]:
             src = _SRC_RE.search(sec[:100])
             if src:
                 source_tag = src.group(1)
-            continue
+            if "【答案】" not in sec:
+                continue
+            # GEO-grammar part (`md_paper_parser.py:166-317`): questions are
+            # numbered directly under the `# 一、...` header, no ## anchors.
+            # Rewrite each numbered block into the ## form and fall through.
+            body_text = sec.strip().split("\n", 1)[1] if "\n" in sec.strip() else ""
+            pieces = re.split(r"\n(?=\d+[\.、]\s)", body_text)
+            sec = "\n".join("## " + p.strip() for p in pieces if p.strip())
         questions = _Q_RE.findall(sec)
         answers = _ANS_RE.findall(sec)
         analyses = _ANALYSIS_RE.findall(sec)
