@@ -85,3 +85,32 @@ def test_label_propagation(spark):
 
 def test_distinct_entity_count(spark):
     assert distinct_entity_count(_edges_df(spark)) == 7
+
+
+def test_typed_neighbors(spark):
+    """Cross-subject bidirectional lookup with type whitelist
+    (`Neo4j_functions.py:70-96`)."""
+    from textchunking_and_knowledgegraph_spark.operators.graph import typed_neighbors
+
+    rows = [
+        ("牛顿第二定律", "相关于", "力的合成", "物理实体", "物理实体"),
+        ("函数的概念", "相关于", "牛顿第二定律", "数学实体", "物理实体"),
+        ("牛顿第二定律", "属于", "动力学", "物理实体", "物理实体"),
+        ("化学平衡", "相关于", "牛顿第二定律", "化学实体", "物理实体"),
+    ]
+    edges = spark.createDataFrame(
+        [(s, p, o, st, ot, "r", "p", "sha") for s, p, o, st, ot in rows],
+        "subj string, pred string, obj string, subj_type string, obj_type string,"
+        "repo string, path string, sha string",
+    )
+    out = typed_neighbors(
+        edges, "牛顿第二定律", "物理实体",
+        other_types=["数学实体", "化学实体"], rels=["相关于"],
+    ).collect()
+    got = {(r.head, r.relation, r.tail) for r in out}
+    # only the cross-domain 相关于 in-edges qualify; the 物理实体→物理实体
+    # and 属于 edges are filtered
+    assert got == {
+        ("函数的概念", "相关于", "牛顿第二定律"),
+        ("化学平衡", "相关于", "牛顿第二定律"),
+    }

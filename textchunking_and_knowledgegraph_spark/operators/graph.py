@@ -154,3 +154,41 @@ def distinct_entity_count(edges: DataFrame) -> int:
         .distinct()
         .count()
     )
+
+
+def typed_neighbors(
+    edges: DataFrame,
+    name: str,
+    entity_type: str,
+    other_types: list[str] | None = None,
+    rels: list[str] | None = None,
+    limit: int = 10,
+) -> DataFrame:
+    """J7 cross-subject variant (`Neo4j_functions.py:70-96,99-139`):
+    bidirectional typed neighbor lookup -- both (other)-[r]->(probe) and
+    (probe)-[r]->(other) rows, with a type whitelist on the other side and
+    optional relation whitelist. Returns (head, relation, tail, provenance)
+    like the reference's DataFrame, capped per direction."""
+    def _match(df, probe_is_subj: bool):
+        if probe_is_subj:
+            df = df.filter((F.col("subj") == name) & (F.col("subj_type") == entity_type))
+            if other_types:
+                df = df.filter(F.col("obj_type").isin(other_types))
+        else:
+            df = df.filter((F.col("obj") == name) & (F.col("obj_type") == entity_type))
+            if other_types:
+                df = df.filter(F.col("subj_type").isin(other_types))
+        if rels:
+            df = df.filter(F.col("pred").isin(rels))
+        return (
+            df.select(
+                F.col("subj").alias("head"),
+                F.col("pred").alias("relation"),
+                F.col("obj").alias("tail"),
+                F.col("repo"), F.col("path"), F.col("sha"),
+            )
+            .orderBy("head", "relation", "tail")
+            .limit(limit)
+        )
+
+    return _match(edges, True).unionByName(_match(edges, False))
