@@ -51,13 +51,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--overlap", type=int, default=0)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--dictionary", default=None,
+                    help="entity dictionary (csv with header incl. 'entity' "
+                         "column, or parquet) -> enables MinHash-LSH linking")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
+    dictionary = None
+    if args.dictionary:
+        if args.dictionary.endswith(".csv"):
+            dictionary = spark.read.csv(args.dictionary, header=True)
+        else:
+            dictionary = spark.read.parquet(args.dictionary)
     cfg = PipelineConfig(
         overlap=args.overlap,
         salt_partitions=args.salt_partitions,
         canonicalize=args.canonicalize,
+        link_entities=dictionary is not None,
+        dictionary=dictionary,
     )
 
     if args.docs_table:
