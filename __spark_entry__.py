@@ -447,15 +447,15 @@ def stream_event_counts(spark, sf_dir):
     memory sink; returns the drained result (rows-only: the oracle-verified
     batch twin is q20)."""
     import tempfile
+    import uuid
 
     from textchunking_and_knowledgegraph_spark.streaming.events import (
         stream_events_available_now,
     )
 
     ckpt = tempfile.mkdtemp(prefix="tckg_stream_ck_")
-    return stream_events_available_now(
-        spark, f"{sf_dir}/events.parquet", ckpt, out_table="tckg_stream_counts"
-    )
+    name = f"tckg_stream_counts_{uuid.uuid4().hex[:8]}"
+    return stream_events_available_now(spark, f"{sf_dir}/events.parquet", ckpt, name)
 
 
 def q30_normalize_markdown(spark, sf_dir):
