@@ -120,12 +120,23 @@ def canonicalize_triples(
 ) -> DataFrame:
     """Map triple subj/obj to canonical representatives (two hash joins after
     a components build over normalization + provided alias edges). Chunk-id
-    objects are never canonicalized (they are content addresses, not names)."""
+    objects are never canonicalized (they are content addresses, not names).
+
+    The input is checkpointed first: this operator consumes ``triples`` four
+    times (name collection + CC + two endpoint joins) and would otherwise
+    re-execute the whole extraction subtree per consumer."""
+    triples = triples.localCheckpoint(eager=False)
     names = (
-        triples.filter(F.col("subj_type") != "chunk").select(F.col("subj").alias("name"))
-        .unionByName(
-            triples.filter(F.col("obj_type") != "chunk").select(F.col("obj").alias("name"))
+        triples.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("subj").alias("name"), F.col("subj_type").alias("t")),
+                    F.struct(F.col("obj").alias("name"), F.col("obj_type").alias("t")),
+                )
+            ).alias("v")
         )
+        .filter(F.col("v.t") != "chunk")
+        .select(F.col("v.name").alias("name"))
         .distinct()
     )
     edges = normalization_alias_edges(names)

@@ -104,11 +104,21 @@ def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None
 
 def build_vertices(triples: DataFrame) -> DataFrame:
     """Vertex table = distinct endpoints with their types (MERGE semantics =
-    dropDuplicates before append, `StoreToNeo4j/Neo4j_functions.py:14-21`)."""
-    subj = triples.select(F.col("subj").alias("name"), F.col("subj_type").alias("type"))
-    obj = triples.select(F.col("obj").alias("name"), F.col("obj_type").alias("type"))
+    dropDuplicates before append, `StoreToNeo4j/Neo4j_functions.py:14-21`).
+
+    Single-scan: endpoints come out of ONE explode, not a subj/obj branch
+    union -- a union would re-execute the whole upstream (including the
+    extraction UDF) once per branch."""
     return (
-        subj.unionByName(obj)
+        triples.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("subj").alias("name"), F.col("subj_type").alias("type")),
+                    F.struct(F.col("obj").alias("name"), F.col("obj_type").alias("type")),
+                )
+            ).alias("v")
+        )
+        .select(F.col("v.name").alias("name"), F.col("v.type").alias("type"))
         .dropDuplicates(["name", "type"])
         .withColumn("id", F.lower(F.hex(F.xxhash64("name", "type"))))
         .select("id", "name", "type")
