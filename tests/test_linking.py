@@ -111,3 +111,21 @@ def test_link_entities_tfidf_scorer(spark):
     assert got["函数概念"] == "函数的概念"
     assert got["函数的单调性质"] == "函数的单调性"
     assert got["等差数列"] == "等差数列"
+
+
+def test_batch_signatures_equal_per_doc():
+    """The batch-vectorized minhash must be bit-identical to the per-doc
+    reference implementation (determinism contract)."""
+    import pandas as pd
+
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        _batch_signatures,
+        _perm_params,
+        _signature,
+    )
+
+    a, b = _perm_params(64)
+    texts = pd.Series(["函数的概念", "函数概念", "", "abc", "spark sql engine", "abc"])
+    per_doc = [_signature(t, a, b) for t in texts]
+    batch = list(_batch_signatures(texts, a, b))
+    assert per_doc == batch

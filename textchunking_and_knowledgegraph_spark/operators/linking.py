@@ -80,13 +80,41 @@ def _signature(text: str, a: np.ndarray, b: np.ndarray) -> list[int]:
     return vals.min(axis=1).tolist()
 
 
+def _batch_signatures(texts: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
+    """Batch-vectorized minhash: identical output to per-doc ``_signature``
+    (asserted in tests), but each distinct gram in the Arrow batch is hashed
+    and permuted ONCE -- with Zipfian/overlapping vocabularies the per-doc
+    cost collapses to a gather + column-min over a shared (U, n_perm) table."""
+    gram_sets = [_char_ngrams(t) for t in texts]
+    vocab: dict[str, int] = {}
+    for gs in gram_sets:
+        for g in gs:
+            if g not in vocab:
+                vocab[g] = len(vocab)
+    if not vocab:
+        return pd.Series([[0] * len(a)] * len(texts))
+    base = np.fromiter((_gram_hash(g) for g in vocab), dtype=np.int64, count=len(vocab))
+    # (U, n_perm) permuted values, same mod-first math as _signature
+    vals = (a[None, :] * (base[:, None] % _P)) % _P
+    vals = (vals + b[None, :]) % _P
+    zero = [0] * len(a)
+    out = []
+    for gs in gram_sets:
+        if not gs:
+            out.append(zero)
+            continue
+        idx = np.fromiter((vocab[g] for g in gs), dtype=np.int64, count=len(gs))
+        out.append(vals[idx].min(axis=0).tolist())
+    return pd.Series(out)
+
+
 def with_minhash(df: DataFrame, text_col: str, n_perm: int = _N_PERM_DEFAULT) -> DataFrame:
     """Attach array<long> minhash signature column ``sig`` (pandas UDF)."""
     a, b = _perm_params(n_perm)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _signature(t, a, b))
+        return _batch_signatures(texts, a, b)
 
     return df.withColumn("sig", _sig(F.col(text_col)))
 
