@@ -66,9 +66,23 @@ def test_embedding_near_dups(spark):
     df = spark.createDataFrame(rows).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
     )
-    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(df, threshold=0.9).collect()}
+    # exact path is now explicit opt-in; the default is SRP blocking
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dups(df, threshold=0.9, blocking=False).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_embedding_near_dups_default_plan_is_blocked(spark):
+    """The default (no kwargs) path must join on the SRP bucket — the O(N^2)
+    cross join can only be reached by explicit blocking=False opt-in."""
+    rows = [{"vec_id": i, "embedding": [float(i), 1.0, 0.0, 0.0]} for i in range(4)]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    plan = embedding_near_dups(df, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
 
 
 def test_embedding_blocking_recall(spark):
@@ -82,5 +96,5 @@ def test_embedding_blocking_recall(spark):
         "embedding", F.col("embedding").cast("array<float>")
     )
     pairs = {(r.id_a, r.id_b) for r in
-             embedding_near_dups(df, threshold=0.9, blocking=True, dim=4).collect()}
+             embedding_near_dups(df, threshold=0.9, blocking=True).collect()}
     assert (1, 2) in pairs

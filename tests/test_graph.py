@@ -114,3 +114,51 @@ def test_typed_neighbors(spark):
         ("函数的概念", "相关于", "牛顿第二定律"),
         ("化学平衡", "相关于", "牛顿第二定律"),
     }
+
+
+def test_random_walk_deterministic(spark):
+    from textchunking_and_knowledgegraph_spark.operators.graph import random_walk
+
+    edges = _edges_df(spark)
+    seeds = spark.createDataFrame([{"seed_node": "数学"}, {"seed_node": "集合"}])
+    a = {(r.walk_id, r.walk) for r in
+         random_walk(edges, seeds, walk_len=3, n_walks=2, seed=7).collect()}
+    b = {(r.walk_id, r.walk) for r in
+         random_walk(edges, seeds, walk_len=3, n_walks=2, seed=7).collect()}
+    assert a == b and len(a) == 4  # 2 seeds x 2 walks, reproducible
+
+    # partitioning-invariant: same result from a repartitioned edge table
+    c = {(r.walk_id, r.walk) for r in
+         random_walk(edges.repartition(7), seeds, walk_len=3, n_walks=2, seed=7).collect()}
+    assert c == a
+
+
+def test_random_walk_paths_valid_and_bounded(spark):
+    from textchunking_and_knowledgegraph_spark.operators.graph import random_walk
+
+    edges = _edges_df(spark)
+    edge_set = set(_EDGES)
+    seeds = spark.createDataFrame([{"seed_node": "数学"}])
+    for r in random_walk(edges, seeds, walk_len=4, n_walks=3, seed=1).collect():
+        nodes = r.walk.split("->")
+        assert nodes[0] == "数学" and r.steps == len(nodes) - 1 <= 4
+        for a, b in zip(nodes, nodes[1:]):
+            assert ("数学" == a or True) and (a, "下位", b) in edge_set
+
+    # a dead-end seed stays put (walk ends, reference behavior)
+    dead = spark.createDataFrame([{"seed_node": "二次幂"}])
+    rows = random_walk(edges, dead, walk_len=3, n_walks=1, seed=1).collect()
+    assert rows[0].walk == "二次幂" and rows[0].steps == 0
+
+
+def test_random_walk_seed_changes_paths(spark):
+    from textchunking_and_knowledgegraph_spark.operators.graph import random_walk
+
+    edges = _edges_df(spark)
+    seeds = spark.createDataFrame([{"seed_node": "数学"}])
+    walks = lambda s: sorted(
+        r.walk for r in random_walk(edges, seeds, walk_len=3, n_walks=4, seed=s).collect()
+    )
+    # different seeds must be able to produce different samples on a
+    # branching graph (not a fixed traversal in disguise)
+    assert any(walks(s) != walks(0) for s in (1, 2, 3))

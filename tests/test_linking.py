@@ -58,16 +58,41 @@ def test_link_deterministic_tiebreak(spark):
 
 
 def test_hierarchy_triples(spark):
+    # G2 path semantics: consecutive cells WITHIN one row pair up; entities
+    # at adjacent levels in *different* rows must NOT pair (the round-1 bug).
     dict_df = spark.createDataFrame(
         [
-            {"entity": "数学", "domain": "数学实体", "level": 1, "entity_id": 0},
-            {"entity": "函数", "domain": "数学实体", "level": 2, "entity_id": 1},
-            {"entity": "幂函数", "domain": "数学实体", "level": 3, "entity_id": 2},
-            {"entity": "地理", "domain": "地理实体", "level": 1, "entity_id": 3},
+            {"entity": "幂函数", "domain": "数学实体", "level": 3, "entity_id": 0,
+             "path": ["数学", "函数", "幂函数"]},
+            {"entity": "集合", "domain": "数学实体", "level": 2, "entity_id": 1,
+             "path": ["数学", "集合"]},
+            {"entity": "地理", "domain": "地理实体", "level": 1, "entity_id": 2,
+             "path": ["地理"]},
         ]
     )
     got = {(r.subj, r.pred, r.obj) for r in hierarchy_triples(dict_df).collect()}
-    assert got == {("数学", "下位", "函数"), ("函数", "下位", "幂函数")}
+    assert got == {
+        ("数学", "下位", "函数"),
+        ("函数", "下位", "幂函数"),
+        ("数学", "下位", "集合"),
+    }
+    # crucially absent: 集合 (level 2, other row) -> 幂函数 (level 3)
+    assert ("集合", "下位", "幂函数") not in got
+
+
+def test_hierarchy_triples_golden_seeded_dictionary(spark):
+    """Exact expected edge set for the seeded dictionary: one 下位 edge per
+    parent->child link of the fixture tree, nothing else (no cross products)."""
+    from textchunking_and_knowledgegraph_spark.sources.synthetic import _DICT_TREE
+
+    entities, _ = synthesize_entity_dictionary()
+    got = {(r.subj, r.obj)
+           for r in hierarchy_triples(spark.createDataFrame(entities)).collect()}
+    want = {(parent, child) for parent, kids in _DICT_TREE.items() for child in kids}
+    assert got == want
+    # quadratic-blowup guard: edge count == number of tree links, not
+    # sum over levels of n_k * n_{k+1}
+    assert len(got) == sum(len(kids) for kids in _DICT_TREE.values())
 
 
 def test_char_ngrams():

@@ -125,3 +125,25 @@ def test_geo_grammar_numbered_questions(spark):
     assert qs[2].answer == "以山地为主"
     assert qs[0].source_tag == "2020年地理模拟"
     assert qs[0].is_choice and not qs[2].is_choice
+
+
+def test_analysis_stays_with_its_question(spark):
+    """Regression: an earlier question WITHOUT 【解析】 must not steal the
+    next question's analysis (positional-zip bug, round-1 ADVICE)."""
+    doc = (
+        "# 第一部分\n"
+        "## 1. 第一题，无解析。\n【答案】A\n"
+        "## 2. 第二题，有解析。\n【答案】B\n【解析】这是第二题的解析。\n"
+    )
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+
+    src = spark.createDataFrame(
+        [("p", "x.md", "c", "markdown", doc)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = sorted(parse_papers(prepared_source(spark, src)).collect(),
+                  key=lambda r: r.q_index)
+    assert len(rows) == 2
+    assert rows[0].answer == "A" and rows[0].analysis is None
+    assert rows[1].answer == "B" and "第二题的解析" in rows[1].analysis

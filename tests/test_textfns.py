@@ -76,8 +76,21 @@ def test_srp_topk_finds_near(spark):
     queries = corpus.filter("vec_id = 0").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = srp_topk(corpus, queries, k=2, dim=4, n_planes=4, n_probe=4).collect()
+    out = srp_topk(corpus, queries, k=2, n_planes=4, n_probe=4).collect()
     assert any(r.vec_id == 1 for r in out)  # the true nearest survives blocking
+
+
+def test_srp_topk_plan_is_equi_join(spark):
+    """Scale guard: the probe must be a hash join on bucket keys, never a
+    nested-loop scan of the corpus per query (round-1 regression)."""
+    corpus = _emb_df(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = srp_topk(corpus, queries, k=2, n_planes=4, n_probe=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
 
 
 def test_multimodal_features(spark):

@@ -54,35 +54,41 @@ def srp_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int = 64,
     n_planes: int = 8,
     n_probe: int = 8,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine within the probed buckets only.
 
-    Probing: a query with bucket b scans buckets whose id differs from b in
-    <= log2(n_probe) bits (hamming-ball probe). With n_planes=8 / n_probe=8
-    a query touches ~3.5% of the corpus in expectation."""
+    Probing: each query row is EXPLODED into its hamming-ball of bucket ids
+    (every id within bit-distance radius = log2(n_probe) of the query's own
+    bucket -- sum of C(n_planes, 0..radius) probe rows), then equi-joined
+    ``c_bucket == probe_bucket``. Candidates are pruned BY THE JOIN, before
+    any per-pair work -- a hash join on bucket keys, never a nested-loop
+    scan of the full corpus per query (the round-1 version filtered a
+    broadcast cross join, touching all N x Q pairs)."""
     c = with_sign_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")),
-        "c_emb", dim=dim, n_planes=n_planes,
+        "c_emb", n_planes=n_planes,
     ).withColumnRenamed("bucket", "c_bucket")
     q = with_sign_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
-        "q_emb", dim=dim, n_planes=n_planes,
+        "q_emb", n_planes=n_planes,
     ).withColumnRenamed("bucket", "q_bucket")
 
-    # hamming-ball probe: bucket ids within bit-distance radius
     import math
 
-    radius = max(0, int(math.log2(max(1, n_probe))) // 1)
+    radius = max(0, int(math.log2(max(1, n_probe))))
+    # XOR masks with <= radius bits set, precomputed driver-side (tiny:
+    # sum C(n_planes, 0..radius); 93 for n_planes=8, radius=3)
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+    probes = q.withColumn(
+        "probe_bucket",
+        F.explode(
+            F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ),
+    )
     joined = (
-        c.join(F.broadcast(q), F.lit(True))
-        .filter(
-            F.bit_count(
-                F.col("c_bucket").bitwiseXOR(F.col("q_bucket")).cast("long")
-            ) <= F.lit(radius)
-        )
+        c.join(F.broadcast(probes), F.col("c_bucket") == F.col("probe_bucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     scored = joined.select(

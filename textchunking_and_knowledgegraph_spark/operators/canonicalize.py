@@ -124,8 +124,10 @@ def canonicalize_triples(
 
     The input is checkpointed first: this operator consumes ``triples`` four
     times (name collection + CC + two endpoint joins) and would otherwise
-    re-execute the whole extraction subtree per consumer."""
-    triples = triples.localCheckpoint(eager=False)
+    re-execute the whole extraction subtree per consumer. Eager: lazy
+    localCheckpoints truncate lineage mid-job and straggler completions then
+    hit unregistered accumulators (DAGScheduler error noise)."""
+    triples = triples.localCheckpoint(eager=True)
     names = (
         triples.select(
             F.explode(

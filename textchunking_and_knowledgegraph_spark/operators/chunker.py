@@ -282,19 +282,41 @@ def chunk_documents(source: DataFrame, overlap: int = 0) -> DataFrame:
 
 def chunk_length_stats(chunks: DataFrame) -> DataFrame:
     """A1/S11 (`Parser/ChunkingStat.py:11-41`): chunk-length mean/variance +
-    a 100-char-bucket histogram, per (repo, lang). Exact integer sums first,
-    one double division -- order-invariant, map-side combinable."""
+    a true 100-char-bucket histogram (per-bucket counts), per (repo, lang).
+
+    Two-level aggregation: first (repo, lang, bucket) counts + partial sums
+    (map-side combinable at bucket granularity), then a tiny rollup to one
+    row per (repo, lang). The histogram is serialized to a sortable
+    ``bucket:count`` string -- array columns crash pandas-based result
+    canonicalizers (round-1 driver: "unhashable type: 'list'")."""
     from pyspark.sql import functions as F
 
-    agg = (
-        chunks.groupBy("repo", "lang")
+    per_bucket = (
+        chunks.groupBy(
+            "repo", "lang",
+            (F.floor(F.col("char_len") / 100) * 100).cast("int").alias("bucket"),
+        )
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("char_len").alias("sum_len"),
-            F.sum(F.col("char_len").cast("long") * F.col("char_len")).alias("sum_sq"),
-            F.sort_array(
-                F.collect_set((F.floor(F.col("char_len") / 100) * 100).cast("int"))
-            ).alias("len_buckets"),
+            F.count("*").alias("n"),
+            F.sum("char_len").alias("s"),
+            F.sum(F.col("char_len").cast("long") * F.col("char_len")).alias("sq"),
+        )
+    )
+    agg = (
+        per_bucket.groupBy("repo", "lang")
+        .agg(
+            F.sum("n").alias("n_chunks"),
+            F.sum("s").alias("sum_len"),
+            F.sum("sq").alias("sum_sq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "n"))),
+                    lambda s: F.concat_ws(
+                        ":", s["bucket"].cast("string"), s["n"].cast("string")
+                    ),
+                ),
+            ).alias("len_hist"),
         )
     )
     return agg.select(
@@ -307,5 +329,5 @@ def chunk_length_stats(chunks: DataFrame) -> DataFrame:
                  - F.col("sum_len").cast("double") * F.col("sum_len") / F.col("n_chunks"))
                 / (F.col("n_chunks") - 1), 4),
         ).otherwise(F.lit(0.0)).alias("var_len"),
-        "len_buckets",
+        "len_hist",
     )

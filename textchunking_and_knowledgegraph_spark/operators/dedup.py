@@ -106,8 +106,11 @@ def minhash_near_dups(
         base = base.repartition(par, "id")
     # checkpoint: the signature UDF feeds the band self-join AND two
     # sig-lookup joins -- without a materialization barrier Catalyst
-    # re-executes the Python stage once per branch
-    sigs = with_minhash(base, "text", n_perm).localCheckpoint(eager=False)
+    # re-executes the Python stage once per branch. EAGER: a lazy
+    # localCheckpoint truncates lineage mid-job, and straggler task
+    # completions then report against unregistered accumulators
+    # ("non-existent accumulator" DAGScheduler noise, round-1 bench tail).
+    sigs = with_minhash(base, "text", n_perm).localCheckpoint(eager=True)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
     # skew cap: drop degenerate buckets before the quadratic self-join
@@ -250,14 +253,19 @@ def _hyperplanes(dim: int, n_planes: int = 16) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
 
 
-def with_sign_bucket(df: DataFrame, emb_col: str = "embedding", dim: int = 64, n_planes: int = 16) -> DataFrame:
+def with_sign_bucket(df: DataFrame, emb_col: str = "embedding", n_planes: int = 16) -> DataFrame:
     """Random-hyperplane (SRP) bucket id: 2^n_planes buckets; cosine-similar
-    vectors collide with high probability. Deterministic planes (seed 7)."""
-    planes = _hyperplanes(dim, n_planes)
+    vectors collide with high probability. Deterministic planes (seed 7);
+    the embedding dimension is inferred from the data inside the UDF (the
+    seeded generator yields identical planes on every executor/batch), so
+    callers can't pass a mismatched ``dim``."""
 
     @F.pandas_udf(T.IntegerType())
     def _bucket(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype="int32")
         mat = np.stack(embs.to_numpy())
+        planes = _hyperplanes(mat.shape[1], n_planes)
         signs = (mat @ planes.T) > 0
         vals = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
         return pd.Series(vals)
@@ -279,16 +287,16 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.9,
-    blocking: bool = False,
-    dim: int = 64,
+    blocking: bool = True,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. ``blocking=True`` adds SRP bucket
-    equality as the join key (the 10^12-scale path: near-linear candidates,
-    recall traded by n_planes); False is the exact O(N^2) verify used for
-    small N and for recall measurement."""
+    """Pairs with cosine >= threshold. ``blocking=True`` (the DEFAULT -- the
+    O(N^2) path must be opted into, never reached silently at scale) adds
+    SRP bucket equality as the join key: near-linear candidates, recall
+    traded by n_planes. ``blocking=False`` is the exact O(N^2) verify for
+    small N and recall measurement only."""
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
     if blocking:
-        base = with_sign_bucket(base, "emb", dim=dim)
+        base = with_sign_bucket(base, "emb")
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(r, on=["bucket"]).filter(F.col("l.id") < F.col("r.id"))
     else:

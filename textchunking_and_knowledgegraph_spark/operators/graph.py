@@ -105,6 +105,76 @@ def lowest_common_ancestor(
     )
 
 
+def random_walk(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    seed: int = 42,
+    rels: list[str] | None = None,
+) -> DataFrame:
+    """Random-walk neighborhood sampling (`StoreToNeo4j/Neo4j_functions.py:169-178`
+    samples one random relationship path per entity).
+
+    Distributed + deterministic: all walks advance in lockstep -- each step
+    is ONE equi hash-join of the walk frontier against the edge table, and
+    the per-walk "random" neighbor choice is argmin of
+    ``xxhash64(seed, walk_id, step, candidate)`` -- a seeded hash draw,
+    reproducible across runs and partitionings with no RNG state to
+    coordinate. Walks that reach a node with no outgoing edge simply stop
+    (the reference's walk ends when Neo4j returns no relationship).
+
+    ``seeds``: one column of start nodes. Output: one row per walk --
+    (walk_id, seed_node, walk, steps) with the path serialized as
+    ``a->b->c`` (array columns crash pandas-based result canonicalizers).
+    """
+    e = edges
+    if rels:
+        e = e.filter(F.col("pred").isin(rels))
+    e = e.select(F.col("subj").alias("_src"), F.col("obj").alias("_dst"))
+
+    walks = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed_node"))
+        .distinct()
+        .select(
+            "seed_node",
+            F.explode(F.array(*[F.lit(str(i)) for i in range(n_walks)])).alias("_wno"),
+        )
+        .select(
+            F.concat_ws("#", "seed_node", "_wno").alias("walk_id"),
+            "seed_node",
+            F.col("seed_node").alias("cur"),
+            F.array("seed_node").alias("path"),
+        )
+    )
+    for step in range(1, walk_len + 1):
+        cand = walks.join(e, walks.cur == e._src, "left")
+        w = Window.partitionBy("walk_id").orderBy(
+            F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step), F.col("_dst"))
+            .asc_nulls_last(),
+            F.col("_dst").asc_nulls_last(),
+        )
+        walks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "walk_id",
+                "seed_node",
+                F.coalesce("_dst", "cur").alias("cur"),
+                F.when(
+                    F.col("_dst").isNotNull(),
+                    F.concat(F.col("path"), F.array(F.col("_dst"))),
+                ).otherwise(F.col("path")).alias("path"),
+            )
+        )
+    return walks.select(
+        "walk_id",
+        "seed_node",
+        F.concat_ws("->", "path").alias("walk"),
+        (F.size("path") - 1).alias("steps"),
+    )
+
+
 def merge_vertices(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """J10: MERGE semantics -- insert only vertices not already present
     (left_anti on the natural key), then append."""

@@ -257,25 +257,28 @@ def link_triples_to_dictionary(
 
 
 def hierarchy_triples(dictionary: DataFrame) -> DataFrame:
-    """G2: 下位 (hyponym) triples from dictionary levels -- consecutive
-    non-null hierarchy cells become (shallower 下位 deeper), the scale-out of
-    `EntityLinking/Entity_Linking.py:43-67`."""
-    a = dictionary.select(
-        F.col("entity").alias("subj"), F.col("level").alias("subj_level"),
-        F.col("domain").alias("domain_a"),
-    )
-    b = dictionary.select(
-        F.col("entity").alias("obj"), F.col("level").alias("obj_level"),
-        F.col("domain").alias("domain_b"),
+    """G2: 下位 (hyponym) triples from per-row hierarchy paths.
+
+    The reference (`EntityLinking/Entity_Linking.py:46-64`) walks ONE CSV
+    row's consecutive non-null cells and pairs neighbors -- a lineage path,
+    never a level-N x level-N+1 cross product. Distributed form: zip each
+    row's ``path`` with itself shifted by one and explode -- narrow
+    (per-row), no join, linear in total path length; dedup is the only
+    shuffle (shared prefixes repeat across rows)."""
+    pairs = F.zip_with(
+        F.expr("slice(path, 1, size(path) - 1)"),
+        F.expr("slice(path, 2, size(path) - 1)"),
+        lambda parent, child: F.struct(parent.alias("subj"), child.alias("obj")),
     )
     return (
-        a.join(b, (a.domain_a == b.domain_b) & (a.subj_level + 1 == b.obj_level))
+        dictionary.filter(F.size("path") >= 2)
+        .select("domain", F.explode(pairs).alias("pair"))
         .select(
-            "subj",
+            F.col("pair.subj").alias("subj"),
             F.lit("下位").alias("pred"),
-            "obj",
-            F.col("domain_a").alias("subj_type"),
-            F.col("domain_b").alias("obj_type"),
+            F.col("pair.obj").alias("obj"),
+            F.col("domain").alias("subj_type"),
+            F.col("domain").alias("obj_type"),
         )
         .dropDuplicates(["subj", "pred", "obj"])
     )

@@ -102,17 +102,28 @@ def _parse_doc(row: dict) -> Iterator[dict]:
             body_text = sec.strip().split("\n", 1)[1] if "\n" in sec.strip() else ""
             pieces = re.split(r"\n(?=\d+[\.、]\s)", body_text)
             sec = "\n".join("## " + p.strip() for p in pieces if p.strip())
-        questions = _Q_RE.findall(sec)
-        answers = _ANS_RE.findall(sec)
-        analyses = _ANALYSIS_RE.findall(sec)
-        for i, q in enumerate(questions):
-            answer = answers[i].strip() if i < len(answers) else None
-            analysis = analyses[i].strip() if i < len(analyses) else None
-            # strip an inline 【解析】 block out of the raw answer text
+        # Parse each question from ITS OWN block slice (text between
+        # consecutive ## anchors): zipping three parallel findall lists
+        # misassigns a later question's 【解析】 to an earlier answerless one.
+        blocks = [
+            b for b in re.split(r"(?m)(?=^##\s)", sec)
+            if b.lstrip().startswith("##")
+        ]
+        for block in blocks:
+            qm = _Q_RE.search(block)
+            if not qm:
+                continue  # no 【答案】 in this block -> not a question
+            q = qm.group(1)
+            am = _ANS_RE.search(block)
+            answer = am.group(1).strip() if am else None
+            anm = _ANALYSIS_RE.search(block)
+            analysis = anm.group(1).strip() if anm else None
+            # the inline 【解析】 partitioned out of this block's own answer
+            # takes precedence (it is provably from this question)
             if answer and "【解析】" in answer:
                 answer, _, inline = answer.partition("【解析】")
                 answer = answer.strip()
-                analysis = analysis or inline.strip() or None
+                analysis = inline.strip() or analysis or None
             qtype, is_choice = _classify(part_header, q)
             # T7: body = text before the first sub-question marker
             parts = _SUBQ_RE.split(q)

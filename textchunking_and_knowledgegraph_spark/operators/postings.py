@@ -1,0 +1,95 @@
+"""Inverted-index (posting table) build + sink -- the S10 ES index-build
+analog.
+
+Reference: `ES_Importer/es_importer.py:18-31` creates an index with an
+ik_max_word-analyzed text mapping; `:40-51` bulk-imports section rows into
+it. The distributed re-expression: tokenize JVM-side (lower + regex split,
+no Python), explode to postings, aggregate term frequencies, and
+materialize partitioned by a term hash bucket so point term lookups prune
+partitions -- the moral equivalent of ES routing a term to its shard.
+
+At 10^12-doc scale the posting build is one scan + one shuffle on
+(term, doc_id); term skew (stopwords) is bounded because the groupBy
+partially aggregates map-side before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import TableIO
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """(term, doc_id, tf): one posting row per distinct term per document.
+
+    Tokenization is the deterministic stand-in for the reference's
+    ik_max_word analyzer (`es_importer.py:23-27`): lowercase + split on
+    non-alphanumeric runs. Stays in whole-stage codegen; the only shuffle is
+    the (term, doc_id) aggregation, which combines map-side.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_frequencies(postings: DataFrame) -> DataFrame:
+    """(term, df, cf): document frequency + collection frequency per term --
+    the index statistics ES exposes per shard."""
+    return postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def write_postings(
+    postings: DataFrame,
+    io: TableIO,
+    name: str = "postings",
+    n_term_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index partitioned by term hash bucket
+    (`es_importer.py:40-51` bulk import analog). A term lookup reads exactly
+    one partition directory; ``n_term_buckets`` sizes partitions for the
+    target corpus (hundreds+ at 100 TB)."""
+    bucketed = postings.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"),
+    )
+    io.write(
+        bucketed.repartition(n_term_buckets, "term_bucket"),
+        name,
+        partition_cols=["term_bucket"],
+    )
+
+
+def term_lookup(
+    spark: SparkSession,
+    io: TableIO,
+    term: str,
+    name: str = "postings",
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Point lookup against the materialized index: the term_bucket equality
+    predicate (constant-folded from the same xxhash64 the writer used) prunes
+    to one partition directory before the term filter."""
+    probe = F.pmod(F.xxhash64(F.lit(term)), F.lit(n_term_buckets)).cast("int")
+    return (
+        io.read(spark, name)
+        .filter((F.col("term_bucket") == probe) & (F.col("term") == term))
+        .drop("term_bucket")
+    )

@@ -1,0 +1,122 @@
+"""Incremental add-content: merge a new batch of documents into a persisted
+graph -- the distributed form of `AddContent/Update_Content.py:24-59` (the
+reference re-runs its chunk/extract/link loop on one new book and MERGEs the
+results into the live Neo4j graph).
+
+Scale shape: the new batch's triples touch only a few repo buckets; instead
+of rewriting the whole edge table, the plan
+
+  1. builds triples for the new source (same fused pipeline as a full run),
+  2. anti-joins them against ONLY the affected buckets of the persisted
+     table (MERGE semantics, J10 -- `StoreToNeo4j/Neo4j_functions.py:14-31`),
+  3. rewrites those buckets with dynamic partition overwrite (Iceberg:
+     ``overwritePartitions`` on ``bucket(repo)``; parquet emulation here),
+  4. merges the vertex table via the same anti-join primitive.
+
+Unaffected buckets are never read or written -- an append of one repo to a
+10^12-file table costs O(new data + affected buckets), not O(table).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import merge_vertices
+from .materialize import EDGE_KEY, _commit
+from .pipeline import build_triples, build_vertices
+
+
+def add_content(
+    spark: SparkSession,
+    output_dir: str,
+    new_source: DataFrame,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 16,
+) -> dict:
+    """Merge ``new_source`` documents into the graph persisted at
+    ``output_dir``. Returns {'new_edges': int, 'affected_buckets': [...]}.
+    """
+    edge_dir = os.path.join(output_dir, "edges")
+    vdir = os.path.join(output_dir, "vertices")
+    t0 = time.time()
+
+    new_edges = (
+        build_triples(spark, new_source)
+        .dropDuplicates(EDGE_KEY)
+        .withColumn(
+            "repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
+        )
+        .persist()
+    )
+    try:
+        affected = sorted(
+            r["repo_bucket"]
+            for r in new_edges.select("repo_bucket").distinct().collect()
+        )
+        if not affected:
+            return {"new_edges": 0, "affected_buckets": []}
+
+        # read ONLY affected buckets; localCheckpoint materializes them so
+        # the dynamic-overwrite write below doesn't read the files it is
+        # replacing (Iceberg snapshots make this copy unnecessary on a
+        # cluster -- MERGE INTO commits a new snapshot).
+        existing = (
+            spark.read.parquet(edge_dir)
+            .filter(F.col("repo_bucket").isin(affected))
+            .localCheckpoint(eager=True)
+        )
+        incoming = new_edges.join(existing, EDGE_KEY, "left_anti")
+        merged = existing.unionByName(incoming.select(*existing.columns))
+        (
+            merged.repartition(len(affected), F.col("repo_bucket"))
+            .sortWithinPartitions("repo_bucket", "subj")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo_bucket")
+            .parquet(edge_dir)
+        )
+
+        # vertex MERGE (anti-join insert) -- existing vertices win
+        existing_v = spark.read.parquet(vdir).localCheckpoint(eager=True)
+        merged_v = merge_vertices(
+            existing_v, build_vertices(new_edges.drop("repo_bucket"))
+        )
+        merged_v.write.mode("overwrite").parquet(vdir)
+
+        # recommit manifests for affected buckets (lineage/metrics stay true)
+        n_new = 0
+        if checkpoint_dir:
+            stats = {
+                int(r["repo_bucket"]): r
+                for r in spark.read.parquet(edge_dir)
+                .filter(F.col("repo_bucket").isin(affected))
+                .groupBy("repo_bucket")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.countDistinct("sha").alias("sha_count"),
+                    F.countDistinct("path").alias("docs"),
+                )
+                .collect()
+            }
+            t_ms = int((time.time() - t0) * 1000)
+            for b in affected:
+                r = stats.get(b)
+                _commit(
+                    checkpoint_dir,
+                    f"bucket_{b}",
+                    {
+                        "bucket": b,
+                        "rows": int(r["rows"]) if r else 0,
+                        "sha_count": int(r["sha_count"]) if r else 0,
+                        "docs": int(r["docs"]) if r else 0,
+                        "t_ms": t_ms,
+                    },
+                )
+        n_new = incoming.count()
+        return {"new_edges": n_new, "affected_buckets": affected}
+    finally:
+        new_edges.unpersist()

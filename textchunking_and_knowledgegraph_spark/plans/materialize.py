@@ -75,39 +75,60 @@ def materialize_graph(
     try:
         done = committed_buckets(checkpoint_dir)
         skipped = sorted(done)
-        total_rows = 0
+        total_rows = sum(
+            json.load(open(_manifest_path(checkpoint_dir, f"bucket_{b}")))["rows"]
+            for b in skipped
+        )
         edge_dir = os.path.join(output_dir, "edges")
-        for b in range(n_buckets):
-            if b in done:
-                # resume: already committed -- count it but do no work
-                with open(_manifest_path(checkpoint_dir, f"bucket_{b}")) as f:
-                    total_rows += json.load(f)["rows"]
-                continue
-            t0 = time.time()
-            part = edges.filter(F.col("repo_bucket") == b).drop("repo_bucket")
-            # deterministic layout: sort within partition by subj for
-            # downstream point-join locality (SURVEY.md 4.3)
-            part = part.sortWithinPartitions("subj")
-            bucket_path = os.path.join(edge_dir, f"repo_bucket={b}")
-            part.write.mode("overwrite").parquet(bucket_path)
-            stats_row = part.agg(
+        t0 = time.time()
+
+        pending = edges
+        if done:
+            # resume: committed buckets are filtered out BEFORE the write --
+            # dynamic partition overwrite touches only pending directories
+            pending = edges.filter(~F.col("repo_bucket").isin(sorted(done)))
+
+        # ONE write for every pending bucket: O(1) Spark jobs regardless of
+        # n_buckets (the round-1 per-bucket loop issued n_buckets sequential
+        # full passes). repartition(n_buckets, bucket) gives one file per
+        # bucket directory; sortWithinPartitions keeps the deterministic
+        # subj-ordered layout for downstream point-join locality
+        # (SURVEY.md 4.3). On a real cluster this is Iceberg
+        # overwritePartitions on bucket(repo).
+        (
+            pending.repartition(n_buckets, F.col("repo_bucket"))
+            .sortWithinPartitions("repo_bucket", "subj")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo_bucket")
+            .parquet(edge_dir)
+        )
+        # per-bucket stats from ONE grouped aggregation over the same cache
+        stats = {
+            int(r["repo_bucket"]): r
+            for r in pending.groupBy("repo_bucket")
+            .agg(
                 F.count("*").alias("rows"),
                 F.countDistinct("sha").alias("sha_count"),
                 F.countDistinct("path").alias("docs"),
-            ).collect()[0]
-            total_rows += stats_row["rows"]
+            )
+            .collect()  # n_buckets rows -- manifest stats, not hot path
+        }
+        write_ms = int((time.time() - t0) * 1000)
+        for b in range(n_buckets):
+            if b in done:
+                continue
+            r = stats.get(b)
+            payload = {
+                "bucket": b,
+                "rows": int(r["rows"]) if r else 0,
+                "sha_count": int(r["sha_count"]) if r else 0,
+                "docs": int(r["docs"]) if r else 0,
+                "t_ms": write_ms,  # shared single-pass write time
+            }
+            total_rows += payload["rows"]
             if checkpoint_dir:
-                _commit(
-                    checkpoint_dir,
-                    f"bucket_{b}",
-                    {
-                        "bucket": b,
-                        "rows": stats_row["rows"],
-                        "sha_count": stats_row["sha_count"],
-                        "docs": stats_row["docs"],
-                        "t_ms": int((time.time() - t0) * 1000),
-                    },
-                )
+                _commit(checkpoint_dir, f"bucket_{b}", payload)
 
         from .pipeline import build_vertices
 

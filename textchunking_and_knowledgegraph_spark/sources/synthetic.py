@@ -242,31 +242,63 @@ def corpus_df(spark: SparkSession, **kwargs) -> tuple[DataFrame, list[Triple]]:
 # Entity dictionary + aliases (linking / canonicalization fixtures)
 # ---------------------------------------------------------------------------
 
+# The hierarchy tree mirrors the reference's dictionary CSV shape
+# (`EntityLinking/Entity_Linking.py:46-64`): each ROW is a root-to-node
+# lineage *path* (consecutive non-null cells of one CSV row), and 下位 edges
+# pair CONSECUTIVE cells within a row -- never level-N x level-N+1 across
+# rows. root -> [children]; children of children listed separately.
+_DICT_TREE: dict[str, list[str]] = {
+    "集合与函数": [
+        "函数的概念", "集合的表示", "幂函数", "函数的单调性", "函数的奇偶性",
+        "二次函数", "指数函数", "对数函数", "三角函数",
+    ],
+    "数列": ["数列的概念", "等差数列", "等比数列"],
+    "向量与复数": ["平面向量", "复数的概念"],
+    "微积分": ["导数的概念", "定积分"],
+    "概率统计": ["概率的基本性质", "随机抽样", "统计图表", "线性回归"],
+    # third level: deeper lineage rows (paths of length 3)
+    "函数的概念": ["函数的定义域", "函数的值域"],
+    "等差数列": ["等差数列的通项公式"],
+    "概率的基本性质": ["古典概型"],
+}
+
+
 def synthesize_entity_dictionary(seed: int = 42) -> tuple[list[dict], list[dict]]:
     """(entities, aliases): near-duplicate families modeled on the reference
     vocabularies (`Entity Data/mat_knowledge.csv` families like 函数的概念 /
-    函数概念 / 函数的概念与表示, FIXTURES.md section 2-3)."""
-    rng = random.Random(seed)
-    base_terms = [
-        "函数的概念", "集合的表示", "幂函数", "函数的单调性", "函数的奇偶性",
-        "二次函数", "指数函数", "对数函数", "三角函数", "数列的概念",
-        "等差数列", "等比数列", "平面向量", "复数的概念", "导数的概念",
-        "定积分", "概率的基本性质", "随机抽样", "统计图表", "线性回归",
-    ]
+    函数概念 / 函数的概念与表示, FIXTURES.md section 2-3).
+
+    Every entity row carries its root-to-self hierarchy ``path`` (the
+    reference's per-row consecutive non-null CSV cells,
+    `EntityLinking/Entity_Linking.py:46-64`); ``level = len(path)``. The
+    ``seed`` parameter is kept for call-site compatibility -- the tree is
+    fully deterministic."""
+    del seed  # structure is deterministic; param kept for API stability
+    roots = [r for r in _DICT_TREE if all(r not in kids for kids in _DICT_TREE.values())]
     entities, aliases = [], []
     eid = 0
-    for term in base_terms:
-        entities.append({"entity_id": eid, "entity": term,
-                         "domain": "数学实体", "level": rng.randint(1, 4)})
-        variants = {term.replace("的", ""), term + "与表示", term[:-1] if len(term) > 3 else term}
+
+    def _add(term: str, path: list[str]) -> None:
+        nonlocal eid
+        entities.append({
+            "entity_id": eid, "entity": term, "domain": "数学实体",
+            "level": len(path), "path": list(path),
+        })
+        variants = {term.replace("的", ""), term + "与表示",
+                    term[:-1] if len(term) > 3 else term}
         for v in variants:
             if v and v != term:
                 aliases.append({"alias": v, "entity_id": eid})
         eid += 1
-    # latin/code symbols for the code corpus
+        for child in _DICT_TREE.get(term, []):
+            _add(child, [*path, child])
+
+    for root in roots:
+        _add(root, [root])
+    # latin/code symbols for the code corpus (flat: single-cell paths)
     for term in ["DataFrame", "SparkSession", "HashMap", "ArrayList", "Goroutine"]:
         entities.append({"entity_id": eid, "entity": term,
-                         "domain": "code_symbol", "level": 1})
+                         "domain": "code_symbol", "level": 1, "path": [term]})
         aliases.append({"alias": term.lower(), "entity_id": eid})
         eid += 1
     return entities, aliases

@@ -55,6 +55,25 @@ def frame_hash(pdf) -> tuple[int, list[str], str]:
     return len(pdf), cols, h
 
 
+def dtype_kinds(pdf) -> dict[str, str]:
+    """pandas dtype *kind* per column -- the driver's canonicalizer hashes
+    raw pandas values, so an int64-vs-float64 divergence (e.g. DuckDB
+    HUGEINT widening) fails there even when _canon normalizes it away here.
+    Compare kinds explicitly so the local gate is at least as strict."""
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
+def kinds_compatible(ks: dict[str, str], ko: dict[str, str]) -> list[str]:
+    groups = {"i": "num_i", "u": "num_i", "f": "num_f", "b": "bool",
+              "M": "ts", "O": "obj", "S": "obj", "U": "obj"}
+    bad = []
+    for c in ks:
+        a, b = groups.get(ks[c], ks[c]), groups.get(ko.get(c, "?"), "?")
+        if a != b:
+            bad.append(f"{c}: spark={ks[c]} oracle={ko.get(c)}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -97,6 +116,11 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         n_o, cols_o, h_o = frame_hash(opdf)
+        kind_mismatch = kinds_compatible(dtype_kinds(spdf), dtype_kinds(opdf))
+        if kind_mismatch:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype-kind mismatch (driver-fatal): {kind_mismatch}")
+            continue
         ok = (n_s == n_o) and (cols_s == cols_o) and (h_s == h_o)
         if ok:
             print(f"OK        {name}: rows={n_s} hash={h_s} ({time.time()-t0:.1f}s)")

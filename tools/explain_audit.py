@@ -52,6 +52,14 @@ CHECKS = [
       ("Generate", "JVM-side triple explode"),
       ("partial_first", "map-side partial dedup aggregation")],
      []),
+    ("ann_srp_topk",
+     [("HashJoin", "probe is an equi hash join on bucket keys")],
+     [("BroadcastNestedLoopJoin", "no per-query corpus scan (round-1 regression)"),
+      ("CartesianProduct", "no cross join in the ANN path")]),
+    ("q35_es_postings",
+     [("partial_count", "posting tf aggregation combines map-side"),
+      ("Generate", "JVM-side token explode")],
+     [("BatchEvalPython", "tokenization must stay JVM-side")]),
 ]
 
 
