@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -122,8 +124,15 @@ def main() -> int:
         "sessionize": q_sessionize,
     }
 
-    # warm the JVM + parquet footers once (excluded from the timed window)
-    docs.limit(1).count()
+    # warm the JVM + parquet footers + the Python worker pool once (excluded
+    # from the timed window). The UDF warm-up must be FULL-width: a limit(1)
+    # pass spawns 1-2 workers, and the first timed pandas-UDF query then
+    # pays the remaining ~30 worker spawns (10-25 s one-time on this box).
+    @F.pandas_udf("int")
+    def _noop_udf(s: pd.Series) -> pd.Series:
+        return s.str.len().fillna(0).astype("int32")
+
+    docs.select(_noop_udf(F.col("text"))).write.format("noop").mode("overwrite").save()
     t("lineitem").limit(1).count()
 
     timings: dict[str, float] = {}

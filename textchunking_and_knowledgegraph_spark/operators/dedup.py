@@ -113,11 +113,17 @@ def minhash_near_dups(
     sigs = with_minhash(base, "text", n_perm).localCheckpoint(eager=True)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
-    # skew cap: drop degenerate buckets before the quadratic self-join
-    bucket_sizes = bd.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
-    bd = bd.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
-        on=["band_id", "band_hash"],
+    # skew cap: drop degenerate buckets before the quadratic self-join.
+    # Window count over the join keys, not groupBy+join-back: one shuffle
+    # instead of two, and both sides of the self-join below share the same
+    # (band_id, band_hash) partitioning so the exchange is reused.
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_hash")
+    bd = (
+        bd.withColumn("bsz", F.count("*").over(wb))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
 
     pairs = (
@@ -142,7 +148,9 @@ def minhash_near_dups(
     sig_sim = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
     ) / F.lit(float(n_perm))
-    survivors = joined.filter(sig_sim >= threshold - sig_margin).repartition(par)
+    # survivors are already hash-distributed by the id_b join; no extra
+    # repartition before the verify UDF (it was a full shuffle for nothing)
+    survivors = joined.filter(sig_sim >= threshold - sig_margin)
     return (
         survivors.withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
         .filter(F.col("jaccard") >= threshold)
