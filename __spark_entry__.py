@@ -711,6 +711,23 @@ def textbook_question_table(spark, sf_dir):
     return textbook_questions(build_chunks(spark, src))
 
 
+def kg_toc(spark, sf_dir):
+    """T10/T11: TOC extraction with Chinese-numeral chapter parsing
+    (`PDF_to_MD/LLM_correction.py:267-322`) over a deterministic book
+    fixture; exact structure pinned by tests/test_toc.py."""
+    from textchunking_and_knowledgegraph_spark.operators.toc import extract_toc
+
+    book = (
+        "前言\n目录\n"
+        "# 第一章 集合\n1.1 集合的概念\n1.2 集合的运算\n"
+        "# 第二章 函数\n2.1 函数的概念\n2.2 函数的单调性\n"
+        "# 第十一章 概率\n11.1 古典概型\n"
+        "# 第一章 集合\n" + "正文从这里开始。\n" * 40
+    )
+    df = spark.createDataFrame([("b1", book)], "doc_id string, content string")
+    return extract_toc(df)
+
+
 def graph_multi_hop(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.operators.graph import multi_hop
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
@@ -731,7 +748,7 @@ def mm_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries (<= 50: round 1 recorded exactly 50 CORRECTNESS rows for 53
+    """<= 50 entries (round 1 recorded exactly 50 CORRECTNESS rows for 53
     registered queries — the last 3 in dict order were silently dropped, so
     the contract now stays under that bound and orders the flagship kg_*
     entries before anything expendable; the streaming entry, which has an
@@ -771,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vertices": kg_vertices,
         "kg_canonical_triples": kg_canonical_triples,
         "dict_hierarchy": dict_hierarchy,
+        "kg_toc": kg_toc,
         "link_entities_lsh": link_entities_lsh,
         "graph_neighbors": graph_neighbors,
         "graph_lca": graph_lca,

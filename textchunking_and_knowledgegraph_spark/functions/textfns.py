@@ -84,3 +84,21 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of lowercase whitespace-collapsed text --
     the cheap exact-dup key (rolling-hash stand-in, deterministic)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def cjk_numeral_to_int(col: Column) -> Column:
+    """T10 (`PDF_to_MD/LLM_correction.py:271-280,343-346`): Chinese numeral ->
+    int. The reference maps 一..十三 with an ``int()`` fallback; this covers
+    the general 1-99 grammar (X十Y) plus ASCII digits, returning 0 for
+    anything unparseable (the reference's behavior). Pure column algebra:
+    digit translate + one regexp — stays in codegen, no UDF."""
+    t = F.translate(F.trim(col), "零一二三四五六七八九", "0123456789")
+    tens = F.regexp_extract(t, "^([0-9])?十([0-9])?$", 1)
+    units = F.regexp_extract(t, "^([0-9])?十([0-9])?$", 2)
+    with_ten = F.when(
+        t.rlike("^[0-9]?十[0-9]?$"),
+        F.when(tens == "", F.lit(1)).otherwise(tens.cast("int")) * 10
+        + F.when(units == "", F.lit(0)).otherwise(units.cast("int")),
+    )
+    plain = F.when(t.rlike("^[0-9]+$"), t.cast("int"))
+    return F.coalesce(with_ten, plain, F.lit(0))
