@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dictionary", default=None,
                     help="entity dictionary (csv with header incl. 'entity' "
                          "column, or parquet) -> enables MinHash-LSH linking")
+    ap.add_argument("--add-content", action="store_true",
+                    help="incremental mode (`AddContent/Update_Content.py:24-59`): "
+                         "MERGE the source into the EXISTING graph at --output, "
+                         "rewriting only affected repo buckets")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
@@ -79,6 +83,24 @@ def main(argv: list[str] | None = None) -> int:
         source = spark.read.schema(SOURCE_SCHEMA).parquet(args.source)
 
     t0 = time.time()
+
+    if args.add_content:
+        if not args.output:
+            ap.error("--add-content requires --output (the existing graph)")
+        from .plans.add_content import add_content
+
+        stats = add_content(
+            spark, args.output, source, checkpoint_dir=args.checkpoint, cfg=cfg
+        )
+        dt = time.time() - t0
+        print(json.dumps({
+            "new_edges": stats["new_edges"],
+            "affected_buckets": stats["affected_buckets"],
+            "seconds": round(dt, 2),
+            "output": args.output,
+        }))
+        return 0
+
     triples = build_triples(spark, source, cfg)
 
     if args.output:

@@ -36,16 +36,19 @@ def add_content(
     new_source: DataFrame,
     checkpoint_dir: str | None = None,
     n_buckets: int = 16,
+    cfg=None,
 ) -> dict:
     """Merge ``new_source`` documents into the graph persisted at
-    ``output_dir``. Returns {'new_edges': int, 'affected_buckets': [...]}.
+    ``output_dir``. ``cfg`` is the same PipelineConfig the full build used
+    (linking/canonicalization parity). Returns
+    {'new_edges': int, 'affected_buckets': [...]}.
     """
     edge_dir = os.path.join(output_dir, "edges")
     vdir = os.path.join(output_dir, "vertices")
     t0 = time.time()
 
     new_edges = (
-        build_triples(spark, new_source)
+        build_triples(spark, new_source, cfg)
         .dropDuplicates(EDGE_KEY)
         .withColumn(
             "repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
