@@ -126,3 +126,26 @@ def test_sample_frames_shape(spark):
     expected = sum((n + 7) // 8 for n in feats["n_frames"])
     assert len(frames) == expected
     assert (frames["frame_idx"] % 8 == 0).all()
+
+
+def test_srp_topk_recall_vs_brute_force(spark):
+    """Recall bound for the bucketed ANN path on real fixture embeddings:
+    hamming-ball probing at n_planes=8/n_probe=8 must recover most of the
+    exact top-5 (deterministic: planes are seeded)."""
+    import pytest
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    try:
+        emb = spark.read.parquet(emb_path)
+    except Exception:
+        pytest.skip("driver testdata not present")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in srp_topk(emb, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} below documented bound"

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine_expr, with_sign_bucket
+from .dedup import cosine_expr, with_sign_buckets
 
 
 def brute_force_topk(
@@ -56,23 +56,33 @@ def srp_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     n_probe: int = 8,
+    n_tables: int = 2,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine within the probed buckets only.
 
-    Probing: each query row is EXPLODED into its hamming-ball of bucket ids
-    (every id within bit-distance radius = log2(n_probe) of the query's own
-    bucket -- sum of C(n_planes, 0..radius) probe rows), then equi-joined
-    ``c_bucket == probe_bucket``. Candidates are pruned BY THE JOIN, before
-    any per-pair work -- a hash join on bucket keys, never a nested-loop
-    scan of the full corpus per query (the round-1 version filtered a
-    broadcast cross join, touching all N x Q pairs)."""
-    c = with_sign_bucket(
+    Two recall levers, both candidate-bounded:
+
+    * hamming-ball probing -- each query row is EXPLODED into every bucket
+      id within bit-distance radius = log2(n_probe) of its own bucket
+      (sum of C(n_planes, 0..radius) probe rows), then equi-joined
+      ``c_bucket == probe_bucket``. Candidates are pruned BY THE JOIN,
+      before any per-pair work -- a hash join on bucket keys, never a
+      nested-loop scan of the corpus per query (the round-1 version
+      filtered a broadcast cross join, touching all N x Q pairs).
+    * multi-table LSH (``n_tables`` independent plane sets) -- a neighbor
+      split from its query by one table's random cut is caught by another.
+
+    Measured on the near-uniform synthetic fixture embeddings (the hard
+    case for LSH): recall@5 vs brute force ~0.5-0.6 at n_tables=1,
+    ~0.7-0.8 at the default n_tables=2 (tests/test_textfns.py pins the
+    floor); clustered real-world embeddings fare much better."""
+    c = with_sign_buckets(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")),
-        "c_emb", n_planes=n_planes,
+        "c_emb", n_planes=n_planes, n_tables=n_tables,
     ).withColumnRenamed("bucket", "c_bucket")
-    q = with_sign_bucket(
+    q = with_sign_buckets(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
-        "q_emb", n_planes=n_planes,
+        "q_emb", n_planes=n_planes, n_tables=n_tables,
     ).withColumnRenamed("bucket", "q_bucket")
 
     import math
@@ -88,13 +98,17 @@ def srp_topk(
         ),
     )
     joined = (
-        c.join(F.broadcast(probes), F.col("c_bucket") == F.col("probe_bucket"))
+        c.join(
+            F.broadcast(probes),
+            (F.col("c_bucket") == F.col("probe_bucket"))
+            & (c.table_id == probes.table_id),
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     scored = joined.select(
         "query_id", "vec_id",
         F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
-    )
+    ).dropDuplicates(["query_id", "vec_id"])  # tables overlap on candidates
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -256,29 +256,61 @@ def ngram_jaccard_pairs(
 # embedding cosine near-dup (sign-LSH blocking at scale, exact verify)
 # ---------------------------------------------------------------------------
 
-def _hyperplanes(dim: int, n_planes: int = 16) -> np.ndarray:
-    rng = np.random.RandomState(7)
+def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
 
 
-def with_sign_bucket(df: DataFrame, emb_col: str = "embedding", n_planes: int = 16) -> DataFrame:
+def with_sign_bucket(
+    df: DataFrame, emb_col: str = "embedding", n_planes: int = 16, seed: int = 7
+) -> DataFrame:
     """Random-hyperplane (SRP) bucket id: 2^n_planes buckets; cosine-similar
-    vectors collide with high probability. Deterministic planes (seed 7);
-    the embedding dimension is inferred from the data inside the UDF (the
-    seeded generator yields identical planes on every executor/batch), so
-    callers can't pass a mismatched ``dim``."""
+    vectors collide with high probability. Deterministic planes (per
+    ``seed``); the embedding dimension is inferred from the data inside the
+    UDF (the seeded generator yields identical planes on every
+    executor/batch), so callers can't pass a mismatched ``dim``."""
 
     @F.pandas_udf(T.IntegerType())
     def _bucket(embs: pd.Series) -> pd.Series:
         if embs.empty:
             return pd.Series([], dtype="int32")
         mat = np.stack(embs.to_numpy())
-        planes = _hyperplanes(mat.shape[1], n_planes)
+        planes = _hyperplanes(mat.shape[1], n_planes, seed)
         signs = (mat @ planes.T) > 0
         vals = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
         return pd.Series(vals)
 
     return df.withColumn("bucket", _bucket(F.col(emb_col)))
+
+
+def with_sign_buckets(
+    df: DataFrame, emb_col: str = "embedding", n_planes: int = 16, n_tables: int = 1
+) -> DataFrame:
+    """Multi-table SRP: ``n_tables`` independent plane sets in ONE UDF pass,
+    exploded to (table_id, bucket) rows. Standard LSH-forest recall lever --
+    a true neighbor missed by one table's cut is caught by another; recall
+    grows ~(1 - (1-p)^T) for per-table collision probability p, at T x the
+    candidate volume."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(embs.to_numpy())
+        out = np.empty((mat.shape[0], n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            planes = _hyperplanes(mat.shape[1], n_planes, seed=7 + t)
+            signs = (mat @ planes.T) > 0
+            out[:, t] = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(list(out))
+
+    bucketed = df.withColumn("_buckets", _buckets(F.col(emb_col)))
+    return (
+        bucketed.select(
+            "*", F.posexplode("_buckets").alias("table_id", "bucket")
+        )
+        .drop("_buckets")
+    )
 
 
 def cosine_expr(a, b):
