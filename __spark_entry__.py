@@ -574,6 +574,14 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def dedup_ngram(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (minhash-LSH blocked candidates,
+    exact shingle-Jaccard verify -- the verify metric is the contract)."""
+    from textchunking_and_knowledgegraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
 def ann_srp_topk(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.operators.ann import srp_topk
 
@@ -797,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_multi_hop": graph_multi_hop,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
         "ann_srp_topk": ann_srp_topk,
         "paper_questions": paper_questions,
         "paper_knowledge_edges": paper_knowledge_edges,
