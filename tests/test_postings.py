@@ -59,3 +59,32 @@ def test_write_and_term_lookup_prunes(spark):
         assert "PartitionFilters: [" in plan and "term_bucket" in plan
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tfidf_search_ranks_rare_term_docs_first(spark):
+    from textchunking_and_knowledgegraph_spark.operators.postings import tfidf_search
+
+    rows = [
+        {"doc_id": 1, "text": "spark spark spark common"},   # high tf on rare term
+        {"doc_id": 2, "text": "spark common common"},        # one rare hit
+        {"doc_id": 3, "text": "common common common"},       # only the common term
+        {"doc_id": 4, "text": "nothing relevant here"},      # no match
+    ]
+    postings = build_postings(spark.createDataFrame(rows))
+    out = tfidf_search(postings, ["spark", "common"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1                    # tf=3 on the rarer term wins
+    assert set(ids) == {1, 2, 3}          # doc 4 never matches
+    assert out[0].n_terms_matched == 2
+    # rare term must outweigh the ubiquitous one: doc 2 (1x spark + 2x common)
+    # beats doc 3 (3x common)
+    assert ids.index(2) < ids.index(3)
+
+
+def test_tfidf_search_deterministic_tiebreak(spark):
+    from textchunking_and_knowledgegraph_spark.operators.postings import tfidf_search
+
+    rows = [{"doc_id": i, "text": "same text"} for i in (5, 3, 9)]
+    postings = build_postings(spark.createDataFrame(rows))
+    out = tfidf_search(postings, ["same"], k=3).collect()
+    assert [r.doc_id for r in out] == [3, 5, 9]  # equal scores -> id asc

@@ -77,6 +77,52 @@ def write_postings(
     )
 
 
+def tfidf_search(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Scored OR-match retrieval over the posting table -- the analog of the
+    reference's ES `match` search (`es_importer.py:53-60` returns ranked
+    hits): score(doc) = sum over matched query terms of tf * idf, with the
+    BM25-style idf ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Plan shape: the query-term list broadcasts (tiny), per-term document
+    frequencies come from one partial-aggregated pass restricted to the
+    query terms, and the final ranking is a global top-k (orderBy+limit --
+    Spark runs it as per-partition top-k + driver merge, no full sort).
+    Returns (doc_id, score, n_terms_matched) ranked best-first.
+    """
+    spark = postings.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    if n_docs is None:
+        n_docs = postings.select("doc_id").distinct().count()
+    dfreq = (
+        postings.join(F.broadcast(terms_df), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    matched = (
+        postings.join(F.broadcast(terms_df), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("w", F.col("tf") * idf)
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.countDistinct("term").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def term_lookup(
     spark: SparkSession,
     io: TableIO,
