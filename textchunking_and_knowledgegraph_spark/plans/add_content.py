@@ -74,8 +74,14 @@ def add_content(
         )
         incoming = new_edges.join(existing, EDGE_KEY, "left_anti")
         merged = existing.unionByName(incoming.select(*existing.columns))
+        # salt the write partitioning: repo_bucket alone = one multi-TB
+        # task per bucket at scale (same fix as materialize_graph)
+        files_per_bucket = 4
+        salt = F.pmod(F.xxhash64("subj"), F.lit(files_per_bucket))
         (
-            merged.repartition(len(affected), F.col("repo_bucket"))
+            merged.repartition(
+                len(affected) * files_per_bucket, F.col("repo_bucket"), salt
+            )
             .sortWithinPartitions("repo_bucket", "subj")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -58,6 +58,7 @@ def materialize_graph(
     checkpoint_dir: str | None = None,
     spark: SparkSession | None = None,
     n_buckets: int = 16,
+    files_per_bucket: int = 4,
 ) -> dict:
     """Write edge table (bucketed by repo hash, resumable) + vertex table.
 
@@ -90,13 +91,19 @@ def materialize_graph(
 
         # ONE write for every pending bucket: O(1) Spark jobs regardless of
         # n_buckets (the round-1 per-bucket loop issued n_buckets sequential
-        # full passes). repartition(n_buckets, bucket) gives one file per
-        # bucket directory; sortWithinPartitions keeps the deterministic
-        # subj-ordered layout for downstream point-join locality
-        # (SURVEY.md 4.3). On a real cluster this is Iceberg
-        # overwritePartitions on bucket(repo).
+        # full passes). Partitioning key = (repo_bucket, subj-hash salt):
+        # repartitioning on repo_bucket ALONE would make each bucket a
+        # single task/file -- a multi-TB task at 100 TB scale. The salt
+        # gives files_per_bucket parallel writers per bucket directory
+        # (size files_per_bucket so files land ~512 MB at the target
+        # scale); sortWithinPartitions keeps the deterministic subj-ordered
+        # layout for downstream point-join locality (SURVEY.md 4.3). On a
+        # real cluster this is Iceberg overwritePartitions on bucket(repo).
+        salt = F.pmod(F.xxhash64("subj"), F.lit(files_per_bucket))
         (
-            pending.repartition(n_buckets, F.col("repo_bucket"))
+            pending.repartition(
+                n_buckets * files_per_bucket, F.col("repo_bucket"), salt
+            )
             .sortWithinPartitions("repo_bucket", "subj")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
