@@ -31,16 +31,22 @@ from .linking import banded, with_minhash
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, sha, group_size, keep]: keep = min id per identical-content group.
-    Single hash aggregation; no UDF."""
+
+    Window aggregates over the sha partitioning, not groupBy + join-back:
+    ONE shuffle on sha instead of two (agg exchange + join exchange), no
+    UDF. Skew note: a pathological all-identical corpus puts one sha in one
+    partition -- at that point dedup IS the answer and the window still
+    streams it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sha")
     withsha = df.select(
         F.col(id_col).alias("id"), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha")
     )
-    groups = withsha.groupBy("sha").agg(
-        F.count("*").alias("group_size"), F.min("id").alias("keeper")
-    )
-    return (
-        withsha.join(groups, "sha")
-        .select("id", "sha", "group_size", (F.col("id") == F.col("keeper")).alias("keep"))
+    return withsha.select(
+        "id", "sha",
+        F.count("*").over(w).alias("group_size"),
+        (F.col("id") == F.min("id").over(w)).alias("keep"),
     )
 
 
@@ -200,10 +206,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming. Blocking: split the 64-bit
     hash into 4 16-bit bands -- any pair within hamming 3 shares at least one
-    exact band (pigeonhole), so the self-join is on band equality, not O(N^2)."""
+    exact band (pigeonhole), so the self-join is on band equality, not O(N^2).
+
+    ``max_bucket`` caps degenerate band buckets before the self-join (same
+    skew guard as minhash_near_dups: a band value shared by 10^6 boilerplate
+    docs would otherwise emit 10^12 candidate pairs; true near-dups still
+    collide in their other bands)."""
     base = with_simhash(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col)), text_col
     ).select("id", "simhash")
@@ -219,6 +231,14 @@ def simhash_near_dups(
             ])
         ).alias("band"),
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_val")
+    bands = (
+        bands.withColumn("bsz", F.count("*").over(wb))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), on=["band_id", "band_val"])
