@@ -761,7 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the contract now stays under that bound and orders the flagship kg_*
     entries before anything expendable; the streaming entry, which has an
     oracle-verified batch twin in q20, goes last)."""
-    return {
+    out = {
         "q01_filter_project": q01_filter_project,
         "q02_doc_transforms": q02_doc_transforms,
         "q05_token_lang": q05_token_lang,
@@ -814,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_add_content": kg_add_content,
         "stream_event_counts": stream_event_counts,
     }
+    # the driver silently drops entries past 50 (round-1 evidence: 53
+    # registered, exactly 50 CORRECTNESS rows) -- fail LOUDLY instead
+    assert len(out) <= 50, f"{len(out)} queries registered; driver records only 50"
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -62,3 +62,25 @@ def test_add_content_idempotent(spark):
         assert _edge_set(spark, out) == before
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_add_content_adopts_persisted_bucketing(spark):
+    """A graph written with n_buckets=8 updated by an add_content called
+    with a mismatched default must still MERGE correctly (bucketing is
+    read from the graph's metadata, not trusted from the caller)."""
+    src, _ = corpus_df(spark)
+    half = F.pmod(F.xxhash64("path"), F.lit(2))
+    base = tempfile.mkdtemp(prefix="tckg_addc_meta_")
+    out = os.path.join(base, "g")
+    full_out = os.path.join(base, "full")
+    try:
+        materialize_graph(build_triples(spark, src.filter(half == 0)), out,
+                          spark=spark, n_buckets=8)
+        stats = add_content(spark, out, src.filter(half == 1), n_buckets=16)
+        assert stats["new_edges"] > 0
+        assert max(stats["affected_buckets"]) < 8  # adopted the stored 8
+        materialize_graph(build_triples(spark, src), full_out, spark=spark,
+                          n_buckets=8)
+        assert _edge_set(spark, out) == _edge_set(spark, full_out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

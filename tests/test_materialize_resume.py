@@ -55,3 +55,26 @@ def test_resume_after_partial_failure(spark):
         assert {"bucket", "rows", "sha_count", "docs", "t_ms"} <= set(m)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rerun_into_same_dir_drops_stale_buckets(spark):
+    """A re-materialize over a SHRUNK corpus must not leave stale edges in
+    buckets the new data no longer hashes into (dynamic-overwrite gap)."""
+    src, _ = corpus_df(spark)
+    triples = build_triples(spark, src)
+    base = tempfile.mkdtemp(prefix="tckg_stale_")
+    out = os.path.join(base, "g")
+    try:
+        materialize_graph(triples, out, spark=spark)
+        full = _edge_set(spark, out)
+
+        # shrink to one repo; its triples occupy fewer buckets
+        one_repo = triples.filter("repo = 'org/repo1'")
+        materialize_graph(one_repo, out, spark=spark)
+        got = _edge_set(spark, out)
+        want = {t for t in full} & {
+            tuple(r) for r in one_repo.select("subj", "pred", "obj", "sha").collect()
+        }
+        assert got == want  # nothing stale from the earlier, larger run
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

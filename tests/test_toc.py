@@ -9,6 +9,8 @@ from textchunking_and_knowledgegraph_spark.operators.toc import _cn_to_int, extr
 _CASES = {
     "一": 1, "二": 2, "九": 9, "十": 10, "十一": 11, "十三": 13, "二十": 20,
     "二十三": 23, "九十九": 99, "7": 7, "42": 42, "foo": 0, "": 0,
+    # mixed ASCII/CJK forms must agree between the column expr and the twin
+    "2十3": 23, "2十": 20, "十5": 15,
 }
 
 

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .linking import banded, with_minhash
 
@@ -37,8 +38,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     UDF. Skew note: a pathological all-identical corpus puts one sha in one
     partition -- at that point dedup IS the answer and the window still
     streams it."""
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("sha")
     withsha = df.select(
         F.col(id_col).alias("id"), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha")
@@ -123,8 +122,6 @@ def minhash_near_dups(
     # Window count over the join keys, not groupBy+join-back: one shuffle
     # instead of two, and both sides of the self-join below share the same
     # (band_id, band_hash) partitioning so the exchange is reused.
-    from pyspark.sql.window import Window
-
     wb = Window.partitionBy("band_id", "band_hash")
     bd = (
         bd.withColumn("bsz", F.count("*").over(wb))
@@ -212,10 +209,14 @@ def simhash_near_dups(
     hash into 4 16-bit bands -- any pair within hamming 3 shares at least one
     exact band (pigeonhole), so the self-join is on band equality, not O(N^2).
 
-    ``max_bucket`` caps degenerate band buckets before the self-join (same
-    skew guard as minhash_near_dups: a band value shared by 10^6 boilerplate
-    docs would otherwise emit 10^12 candidate pairs; true near-dups still
-    collide in their other bands)."""
+    ``max_bucket`` caps degenerate band buckets before the self-join (skew
+    guard: a band value shared by 10^6 boilerplate docs would otherwise
+    emit 10^12 candidate pairs). HONEST RECALL BOUND: pigeonhole only
+    guarantees ONE shared band, so a pair whose sole shared band is capped
+    is lost -- an accepted recall trade at web scale. The dominant
+    degenerate case (hamming-0: byte-identical boilerplate) is recovered
+    exactly via a linear identical-simhash star pass (min-id representative
+    paired to every other member), so capping never hides exact dups."""
     base = with_simhash(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col)), text_col
     ).select("id", "simhash")
@@ -231,8 +232,6 @@ def simhash_near_dups(
             ])
         ).alias("band"),
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
-    from pyspark.sql.window import Window
-
     wb = Window.partitionBy("band_id", "band_val")
     bands = (
         bands.withColumn("bsz", F.count("*").over(wb))
@@ -249,11 +248,24 @@ def simhash_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    banded_pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # hamming-0 star recovery: identical simhashes always pair to their
+    # min-id representative, linear in group size, immune to the cap
+    w_sh = Window.partitionBy("simhash")
+    star_pairs = (
+        base.withColumn("rep", F.min("id").over(w_sh))
+        .filter(F.col("id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return banded_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------

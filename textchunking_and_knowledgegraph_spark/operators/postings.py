@@ -95,7 +95,10 @@ def tfidf_search(
     Returns (doc_id, score, n_terms_matched) ranked best-first.
     """
     spark = postings.sparkSession
-    terms_df = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # dedupe: a repeated query term would double-count tf in the join
+    terms_df = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "term string"
+    )
     if n_docs is None:
         n_docs = postings.select("doc_id").distinct().count()
     dfreq = (

@@ -35,21 +35,23 @@ TOC_SCHEMA = T.StructType(
 )
 
 _CHAPTER_RE = re.compile(r"#\s*第(.*?)(章|单元)")
-_CN_MAP = {c: i + 1 for i, c in enumerate("一二三四五六七八九")}
+_CN_TRANS = str.maketrans("零一二三四五六七八九", "0123456789")
 
 
 def _cn_to_int(s: str) -> int:
-    """Python twin of functions.textfns.cjk_numeral_to_int (1-99 grammar +
-    ASCII fallback, 0 when unparseable) -- equality asserted in tests."""
-    s = s.strip()
-    if s.isdigit():
-        return int(s)
-    m = re.fullmatch(r"([一二三四五六七八九])?十([一二三四五六七八九])?", s)
+    """Python twin of functions.textfns.cjk_numeral_to_int: SAME pipeline
+    (translate CJK digits to ASCII first, then the [0-9]?十[0-9]? grammar)
+    so mixed forms like '2十3' parse identically on both paths -- equality
+    asserted in tests across ASCII, CJK, and mixed inputs."""
+    t = s.strip().translate(_CN_TRANS)
+    if t.isdigit():
+        return int(t)
+    m = re.fullmatch(r"([0-9])?十([0-9])?", t)
     if m:
-        tens = _CN_MAP.get(m.group(1), 1) if m.group(1) else 1
-        units = _CN_MAP.get(m.group(2), 0) if m.group(2) else 0
+        tens = int(m.group(1)) if m.group(1) else 1
+        units = int(m.group(2)) if m.group(2) else 0
         return tens * 10 + units
-    return _CN_MAP.get(s, 0)
+    return 0
 
 
 def _walk_toc(doc_id: str, head: str) -> Iterator[dict]:

@@ -47,6 +47,16 @@ def add_content(
     vdir = os.path.join(output_dir, "vertices")
     t0 = time.time()
 
+    # adopt the bucketing the graph was WRITTEN with: a mismatched
+    # n_buckets would hash repos into different partitions than their
+    # existing rows, break the anti-join, and write duplicates.
+    meta_path = os.path.join(output_dir, "_graph_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            n_buckets = int(json.load(f)["n_buckets"])
+
     new_edges = (
         build_triples(spark, new_source, cfg)
         .dropDuplicates(EDGE_KEY)

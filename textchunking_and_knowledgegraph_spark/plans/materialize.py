@@ -68,6 +68,14 @@ def materialize_graph(
     snapshots; the manifest emulation keeps identical semantics without the
     runtime jar (SURVEY.md 7.0).
     """
+    # persist the layout parameters: an incremental update with a DIFFERENT
+    # n_buckets would hash the same repo into a different partition, miss
+    # existing rows in its anti-join, and write duplicates. add_content
+    # reads this and adopts the stored bucketing.
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "_graph_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "files_per_bucket": files_per_bucket}, f)
+
     edges = (
         triples.dropDuplicates(EDGE_KEY)
         .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int"))
@@ -122,6 +130,19 @@ def materialize_graph(
             .collect()  # n_buckets rows -- manifest stats, not hot path
         }
         write_ms = int((time.time() - t0) * 1000)
+        # dynamic overwrite only touches partitions PRESENT in `pending`:
+        # a pending bucket that has zero rows this run but holds data from
+        # a previous run into the same output_dir would silently keep its
+        # stale files (the round-1 per-bucket loop overwrote every
+        # directory unconditionally). Restore that guarantee driver-side:
+        # O(n_buckets) directory removals, no extra Spark jobs.
+        import shutil
+
+        for b in range(n_buckets):
+            if b not in done and stats.get(b) is None:
+                shutil.rmtree(
+                    os.path.join(edge_dir, f"repo_bucket={b}"), ignore_errors=True
+                )
         for b in range(n_buckets):
             if b in done:
                 continue

@@ -51,14 +51,22 @@ def stream_ingest_available_now(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.isdir(os.path.join(output_dir, "edges")):
+        # Completed-bootstrap marker = the VERTICES dir: materialize writes
+        # edges first and vertices last, so a crash mid-bootstrap leaves
+        # edges without vertices. Dispatching on edges alone would send the
+        # replayed batch down add_content, which reads the missing vertices
+        # table and wedges the stream forever. Re-running materialize is
+        # safe: the manifest checkpoint skips committed buckets.
+        bootstrapped = os.path.isdir(
+            os.path.join(output_dir, "edges")
+        ) and os.path.isdir(os.path.join(output_dir, "vertices"))
+        if bootstrapped:
             add_content(
                 spark, output_dir, batch_df,
                 checkpoint_dir=os.path.join(checkpoint_dir, "manifest"),
                 cfg=cfg,
             )
         else:
-            # bootstrap: first batch materializes the initial graph
             materialize_graph(
                 build_triples(spark, batch_df, cfg), output_dir,
                 checkpoint_dir=os.path.join(checkpoint_dir, "manifest"),
