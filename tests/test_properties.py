@@ -109,3 +109,62 @@ def test_sessionize_batch_invariants(spark):
         for prev, nxt in zip(ss, ss[1:]):
             gap = (nxt.session_start - prev.session_end).total_seconds()
             assert gap > 1800, (user, prev, nxt)
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators: pure-Python properties (hypothesis-driven)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=1, max_value=99))
+@settings(max_examples=60, deadline=None)
+def test_cn_numeral_roundtrip(n):
+    """Every 1-99 value rendered as a CJK numeral parses back to itself
+    through the Python twin (the column expression is pinned equal to the
+    twin in test_toc)."""
+    from textchunking_and_knowledgegraph_spark.operators.toc import _cn_to_int
+
+    digits = "零一二三四五六七八九"
+    if n < 10:
+        s = digits[n]
+    elif n == 10:
+        s = "十"
+    else:
+        tens, units = divmod(n, 10)
+        s = (digits[tens] if tens > 1 else "") + "十" + (digits[units] if units else "")
+    assert _cn_to_int(s) == n
+    assert _cn_to_int(str(n)) == n  # ASCII fallback agrees
+
+
+def test_hierarchy_edge_count_is_linear_in_path_length(spark):
+    """G2 property on the REAL operator: |edges| == |unique consecutive
+    pairs| and <= sum(len(path)-1) — per-row pairing can never exceed total
+    path length (the round-1 level cross-join grew quadratically)."""
+    import itertools
+
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        hierarchy_triples,
+    )
+
+    # deterministic family of path sets incl. shared prefixes and overlaps
+    alphabet = "abcdefg"
+    path_sets = [
+        [list(p) for p in itertools.permutations(alphabet[:4], 3)][:6],
+        [["r", "x"], ["r", "y"], ["r", "x", "x1"], ["r", "y", "y1", "y2"]],
+        [["solo"]],
+        [["a", "b"], ["a", "b"], ["b", "a"]],  # duplicates + reversed
+    ]
+    for paths in path_sets:
+        rows = [
+            {"entity": p[-1], "entity_id": i, "domain": "d", "level": len(p),
+             "path": list(p)}
+            for i, p in enumerate(paths)
+        ]
+        got = {(r.subj, r.obj)
+               for r in hierarchy_triples(spark.createDataFrame(rows)).collect()}
+        want = {(a, b) for p in paths for a, b in zip(p, p[1:])}
+        assert got == want
+        assert len(got) <= sum(len(p) - 1 for p in paths)
