@@ -92,3 +92,27 @@ def test_graph_ops_on_real_kg(spark):
     w2 = sorted(r.walk for r in random_walk(edges, seeds, walk_len=3, n_walks=4).collect())
     assert w1 == w2 and len(w1) == 4
     assert all(w.split("->")[0] == hub for w in w1)
+
+
+@needs_mat
+def test_canonicalization_on_real_vocabulary(spark):
+    """Connected-components canonicalization at realistic vocabulary size:
+    the real math vocabulary holds genuine 的-variant families (e.g.
+    三角形面积公式 / 三角形的面积公式) that must collapse to one canonical
+    representative, while unrelated terms stay distinct."""
+    from textchunking_and_knowledgegraph_spark.operators.canonicalize import (
+        alias_components,
+        normalization_alias_edges,
+    )
+
+    with open(MAT, encoding="utf-8") as f:
+        terms = sorted({r[0] for r in csv.reader(f)})[1:]
+    names = spark.createDataFrame([(t,) for t in terms], "name string")
+    edges = normalization_alias_edges(names)
+    mapping = {
+        r.name: r.canonical
+        for r in alias_components(edges, alias_col="src", canonical_col="dst").collect()
+    }
+    canon = lambda t: mapping.get(t, t)
+    assert canon("三角形面积公式") == canon("三角形的面积公式")
+    assert canon("函数的概念") != canon("等差数列")
