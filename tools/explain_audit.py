@@ -52,6 +52,10 @@ CHECKS = [
       ("Generate", "JVM-side triple explode"),
       ("partial_first", "map-side partial dedup aggregation")],
      []),
+    ("q19_exact_dedup",
+     [("Window", "group stats via window over the sha partitioning")],
+     [("SortMergeJoin", "no join-back: one shuffle, not two"),
+      ("BroadcastHashJoin", "no join-back: one shuffle, not two")]),
     ("ann_srp_topk",
      [("HashJoin", "probe is an equi hash join on bucket keys")],
      [("BroadcastNestedLoopJoin", "no per-query corpus scan (round-1 regression)"),
