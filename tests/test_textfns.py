@@ -149,3 +149,49 @@ def test_srp_topk_recall_vs_brute_force(spark):
               for r in srp_topk(emb, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"recall {recall:.2f} below documented bound"
+
+
+def test_scrub_pii_and_counts(spark):
+    from textchunking_and_knowledgegraph_spark.functions.textfns import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "mail joe.doe@example.com, see https://foo.bar/x?y=1, tel 555-1234"),
+        (2, "server 192.168.1.1 rebooted"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r for r in df.select(
+        "id", scrub_pii(F.col("text")).alias("s"), pii_counts(F.col("text")).alias("p")
+    ).collect()}
+    assert "<EMAIL>" in out[1].s and "<URL>" in out[1].s and "<PHONE>" in out[1].s
+    assert "joe.doe" not in out[1].s and "foo.bar" not in out[1].s
+    assert out[1].p.emails == 1 and out[1].p.urls == 1 and out[1].p.phones == 1
+    assert out[2].s == "server <IP> rebooted" and out[2].p.ips == 1
+    assert out[3].s == rows[2][1]  # untouched
+
+
+def test_repetition_quality_signals(spark):
+    from textchunking_and_knowledgegraph_spark.functions.textfns import (
+        dup_line_fraction,
+        top_bigram_fraction,
+    )
+
+    rows = [
+        (1, "a\na\nb\na"),              # 4 lines, 2 distinct -> 0.5
+        (2, "go go go go go go stop"),  # "go go" = 5 of 6 bigrams
+        (3, "all lines unique\nno repeats\nclean text"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r for r in df.select(
+        "id",
+        F.round(dup_line_fraction(F.col("text")), 4).alias("dlf"),
+        F.round(top_bigram_fraction(F.col("text")), 4).alias("tbf"),
+    ).collect()}
+    assert out[1].dlf == 0.5
+    assert out[2].tbf == round(5 / 6, 4)
+    assert out[3].dlf == 0.0
+    assert out[4].dlf == 0.0 and out[4].tbf == 0.0

@@ -86,6 +86,75 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
+# ---------------------------------------------------------------------------
+# training-data curation: PII scrubbing + repetition quality signals
+# (standard large-corpus filters; pure column algebra, no UDF)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s<>\"]+"
+_PHONE_RE = r"(?<![0-9])(?:\+?[0-9]{1,3}[\s\-]?)?(?:\([0-9]{2,4}\)[\s\-]?)?[0-9]{3,4}[\s\-][0-9]{3,4}(?:[\s\-][0-9]{3,4})?(?![0-9])"
+_IP_RE = r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails, URLs, phone-like numbers, and IPv4 addresses with
+    typed placeholders -- the standard pre-training scrub pass. Regex chain
+    stays in codegen; order matters (URLs first so their host parts are not
+    re-matched as phone/IP fragments)."""
+    c = F.regexp_replace(col, _URL_RE, "<URL>")
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _IP_RE, "<IP>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    return c
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(emails, urls, phones, ips) match counts -- the audit metric
+    that decides whether a document is scrubbable or droppable."""
+    return F.struct(
+        F.regexp_count(col, F.lit(_EMAIL_RE)).alias("emails"),
+        F.regexp_count(col, F.lit(_URL_RE)).alias("urls"),
+        F.regexp_count(col, F.lit(_PHONE_RE)).alias("phones"),
+        F.regexp_count(col, F.lit(_IP_RE)).alias("ips"),
+    )
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line
+    (Gopher-style repetition signal: boilerplate/template pages score high).
+    Higher-order array functions only -- no shuffle, no UDF."""
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    distinct_n = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - distinct_n) / n).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Fraction of all word-bigram occurrences taken by the single most
+    frequent bigram (Gopher repetition rule: high = looping/generated text).
+
+    Column algebra: build bigram array with zip_with over the token array
+    and its tail, then aggregate the max per-bigram count via transform +
+    size(filter) -- O(n^2) per document in the worst case, bounded by
+    truncating to the first 512 tokens (the signal saturates long before)."""
+    toks = F.slice(F.filter(F.split(F.lower(col), r"\s+"),
+                            lambda x: F.length(x) > 0), 1, 513)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+    )
+    return F.when(
+        n >= 2,
+        F.array_max(counts) / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+
+
 def cjk_numeral_to_int(col: Column) -> Column:
     """T10 (`PDF_to_MD/LLM_correction.py:271-280,343-346`): Chinese numeral ->
     int. The reference maps 一..十三 with an ``int()`` fallback; this covers
