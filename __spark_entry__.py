@@ -277,8 +277,13 @@ def q22_embedding_near_dups(spark, sf_dir):
 
 
 def q23_quality_metrics(spark, sf_dir):
-    """Quality scoring: punct ratio + mean word length + stopword ratio
-    (higher-order array lambda, JVM-side) — one scan, mirrored arithmetic."""
+    """Quality scoring: punct ratio + mean word length + stopword ratio +
+    duplicate-line fraction (Gopher-style repetition signal) — one scan,
+    higher-order array lambdas JVM-side, mirrored arithmetic."""
+    from textchunking_and_knowledgegraph_spark.functions.textfns import (
+        dup_line_fraction,
+    )
+
     doc = _t(spark, sf_dir, "documents")
     n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     chars = F.length(F.regexp_replace("text", r"\s+", ""))
@@ -295,6 +300,7 @@ def q23_quality_metrics(spark, sf_dir):
             "mean_word_len"
         ),
         F.round(F.when(total > 0, stop / total).otherwise(0.0), 6).alias("stop_ratio"),
+        F.round(dup_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
     )
 
 
@@ -992,9 +998,14 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_word_len,
                    ROUND(CASE WHEN len(toks) > 0
                      THEN CAST(len(list_filter(toks, t -> list_contains([{stop_list}], t)))
-                          AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stop_ratio
+                          AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stop_ratio,
+                   ROUND(CASE WHEN len(nlines) > 0
+                     THEN CAST(len(nlines) - len(list_distinct(nlines)) AS DOUBLE)
+                          / len(nlines) ELSE 0.0 END, 6) AS dup_line_frac
             FROM (SELECT doc_id, text,
-                         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+                         list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0) AS nlines
                   FROM documents)
         """,
         "q25_orders_by_month": """
