@@ -162,3 +162,32 @@ def test_random_walk_seed_changes_paths(spark):
     # different seeds must be able to produce different samples on a
     # branching graph (not a fixed traversal in disguise)
     assert any(walks(s) != walks(0) for s in (1, 2, 3))
+
+
+def test_walk_skipgram_pairs(spark):
+    from textchunking_and_knowledgegraph_spark.operators.graph import (
+        walk_skipgram_pairs,
+    )
+
+    walks = spark.createDataFrame(
+        [("w1", "a->b->c"), ("w2", "a->b")], "walk_id string, walk string"
+    )
+    got = {(r.center, r.context): r.freq
+           for r in walk_skipgram_pairs(walks, window=1).collect()}
+    # w1: (a,b) (b,a) (b,c) (c,b); w2: (a,b) (b,a)
+    assert got == {
+        ("a", "b"): 2, ("b", "a"): 2, ("b", "c"): 1, ("c", "b"): 1,
+    }
+    # window=2 reaches the path ends
+    got2 = {(r.center, r.context) for r in
+            walk_skipgram_pairs(walks, window=2).collect()}
+    assert ("a", "c") in got2 and ("c", "a") in got2
+
+
+def test_walk_skipgram_single_node_walk(spark):
+    from textchunking_and_knowledgegraph_spark.operators.graph import (
+        walk_skipgram_pairs,
+    )
+
+    walks = spark.createDataFrame([("w", "solo")], "walk_id string, walk string")
+    assert walk_skipgram_pairs(walks).count() == 0

@@ -175,6 +175,45 @@ def random_walk(
     )
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, freq) skip-gram training pairs from walk paths --
+    the corpus-generation step of node2vec/DeepWalk-style graph-embedding
+    training over the KG (the natural consumer of ``random_walk`` output).
+
+    Pure column algebra: split each serialized walk back to its node array,
+    pair every position with its +-window neighborhood via nested
+    transform/sequence lambdas (JVM, no UDF), one flatten-explode, then a
+    map-side-combinable count. Scales as O(total_walk_length * window).
+    """
+    nodes = F.split(F.col("walk"), "->")
+    n = F.size(nodes)
+    pair_lists = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.filter(
+            F.transform(
+                F.sequence(
+                    F.greatest(F.lit(1), i - window), F.least(n, i + window)
+                ),
+                lambda j: F.when(
+                    j != i,
+                    F.struct(
+                        F.element_at(nodes, i).alias("center"),
+                        F.element_at(nodes, j).alias("context"),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        ),
+    )
+    return (
+        walks.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"), F.col("p.context").alias("context")
+        )
+        .agg(F.count("*").alias("freq"))
+    )
+
+
 def merge_vertices(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """J10: MERGE semantics -- insert only vertices not already present
     (left_anti on the natural key), then append."""
