@@ -106,7 +106,7 @@ def test_canonicalization_on_real_vocabulary(spark):
     )
 
     with open(MAT, encoding="utf-8") as f:
-        terms = sorted({r[0] for r in csv.reader(f)})[1:]
+        terms = sorted({r[0] for r in csv.reader(f)} - {"subject"})  # drop header
     names = spark.createDataFrame([(t,) for t in terms], "name string")
     edges = normalization_alias_edges(names)
     mapping = {

@@ -173,6 +173,35 @@ def test_scrub_pii_and_counts(spark):
     assert out[3].s == rows[2][1]  # untouched
 
 
+def test_scrub_pii_preserves_numeric_ranges_and_punctuation(spark):
+    """Regression (review findings): ordinary numeric ranges must survive
+    the scrub, trailing sentence punctuation is not part of a URL, the
+    audit counts follow scrub precedence, and null text counts as zeros."""
+    from textchunking_and_knowledgegraph_spark.functions.textfns import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "years 2019-2020 and pages 100-200 stay intact"),
+        (2, "see https://foo.bar/x?y=1, next sentence"),
+        (3, "https://example.com/555-1234 x"),
+        (4, None),
+        (5, "call (010) 6552-3355 or +86 1381-0000"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r for r in df.select(
+        "id", scrub_pii(F.col("text")).alias("s"), pii_counts(F.col("text")).alias("p")
+    ).collect()}
+    assert out[1].s == rows[0][1]                      # ranges untouched
+    assert out[2].s == "see <URL>, next sentence"      # comma survives
+    # a phone-shaped path inside a URL is a URL, not a phone
+    assert out[3].s == "<URL> x"
+    assert out[3].p.urls == 1 and out[3].p.phones == 0
+    assert out[4].p == (0, 0, 0, 0)                    # null -> zeros
+    assert out[5].p.phones == 2 and "<PHONE>" in out[5].s
+
+
 def test_repetition_quality_signals(spark):
     from textchunking_and_knowledgegraph_spark.functions.textfns import (
         dup_line_fraction,

@@ -92,31 +92,54 @@ def fingerprint(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 _EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-_URL_RE = r"https?://[^\s<>\"]+"
-_PHONE_RE = r"(?<![0-9])(?:\+?[0-9]{1,3}[\s\-]?)?(?:\([0-9]{2,4}\)[\s\-]?)?[0-9]{3,4}[\s\-][0-9]{3,4}(?:[\s\-][0-9]{3,4})?(?![0-9])"
+# final char class keeps trailing sentence punctuation OUT of the match
+_URL_RE = r"https?://[^\s<>\"]*[^\s<>\".,;!?)]"
+# Deliberately conservative: an international +CC form, a parenthesized
+# area code, a 3-3-4 three-group number, or a bare 3-4 local pair. Plain
+# n-n ranges with symmetric widths (years 2019-2020, pages 100-200) do
+# NOT match — a looser pattern was observed corrupting ordinary numeric
+# ranges in textbook-style corpora.
+_PHONE_RE = (
+    r"(?<![0-9])(?:"
+    r"\+[0-9]{1,3}[\s\-][0-9]{3,4}[\s\-][0-9]{3,4}"
+    r"|\([0-9]{2,4}\)[\s\-]?[0-9]{3,4}[\s\-]?[0-9]{3,4}"
+    r"|[0-9]{3}[\s\-][0-9]{3}[\s\-][0-9]{4}"
+    r"|[0-9]{3}[\s\-][0-9]{4}"
+    r")(?![0-9])"
+)
 _IP_RE = r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"
+
+
+def _scrub_stages(col: Column) -> tuple[Column, Column, Column, Column]:
+    """The precedence chain shared by scrub and audit: URLs first so their
+    host/path digits are never re-matched as phone/IP fragments."""
+    after_url = F.regexp_replace(col, _URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, _EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, _IP_RE, "<IP>")
+    after_phone = F.regexp_replace(after_ip, _PHONE_RE, "<PHONE>")
+    return after_url, after_email, after_ip, after_phone
 
 
 def scrub_pii(col: Column) -> Column:
     """Replace emails, URLs, phone-like numbers, and IPv4 addresses with
     typed placeholders -- the standard pre-training scrub pass. Regex chain
-    stays in codegen; order matters (URLs first so their host parts are not
-    re-matched as phone/IP fragments)."""
-    c = F.regexp_replace(col, _URL_RE, "<URL>")
-    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
-    c = F.regexp_replace(c, _IP_RE, "<IP>")
-    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
-    return c
+    stays in codegen."""
+    return _scrub_stages(col)[3]
 
 
 def pii_counts(col: Column) -> Column:
-    """struct(emails, urls, phones, ips) match counts -- the audit metric
-    that decides whether a document is scrubbable or droppable."""
+    """struct(emails, urls, phones, ips) -- the audit metric that decides
+    whether a document is scrubbable or droppable. Counts are taken on the
+    SAME progressive scrub chain scrub_pii applies (a URL's digits must not
+    also count as a phone), and null text counts as zeros (a NULL count
+    would make threshold filters drop the row from BOTH sides)."""
+    c = F.coalesce(col, F.lit(""))
+    after_url, after_email, after_ip, _ = _scrub_stages(c)
     return F.struct(
-        F.regexp_count(col, F.lit(_EMAIL_RE)).alias("emails"),
-        F.regexp_count(col, F.lit(_URL_RE)).alias("urls"),
-        F.regexp_count(col, F.lit(_PHONE_RE)).alias("phones"),
-        F.regexp_count(col, F.lit(_IP_RE)).alias("ips"),
+        F.regexp_count(after_url, F.lit(_EMAIL_RE)).alias("emails"),
+        F.regexp_count(c, F.lit(_URL_RE)).alias("urls"),
+        F.regexp_count(after_ip, F.lit(_PHONE_RE)).alias("phones"),
+        F.regexp_count(after_email, F.lit(_IP_RE)).alias("ips"),
     )
 
 
@@ -134,10 +157,11 @@ def top_bigram_fraction(col: Column) -> Column:
     """Fraction of all word-bigram occurrences taken by the single most
     frequent bigram (Gopher repetition rule: high = looping/generated text).
 
-    Column algebra: build bigram array with zip_with over the token array
-    and its tail, then aggregate the max per-bigram count via transform +
-    size(filter) -- O(n^2) per document in the worst case, bounded by
-    truncating to the first 512 tokens (the signal saturates long before)."""
+    Column algebra: bigram i = tokens[i] ++ tokens[i+1] via a
+    transform/sequence index lambda, then the max per-bigram count via
+    transform + size(filter) over the distinct bigrams -- O(d*n) per
+    document (d = distinct bigrams), bounded by truncating to the first
+    513 tokens = 512 bigrams (the signal saturates long before)."""
     toks = F.slice(F.filter(F.split(F.lower(col), r"\s+"),
                             lambda x: F.length(x) > 0), 1, 513)
     n = F.size(toks)
