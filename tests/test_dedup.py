@@ -98,3 +98,23 @@ def test_embedding_blocking_recall(spark):
     pairs = {(r.id_a, r.id_b) for r in
              embedding_near_dups(df, threshold=0.9, blocking=True).collect()}
     assert (1, 2) in pairs
+
+
+def test_dedup_decisions_from_pairs(spark):
+    from textchunking_and_knowledgegraph_spark.operators.dedup import dedup_decisions
+
+    docs = spark.createDataFrame(
+        [{"doc_id": i, "text": "x"} for i in range(1, 7)]
+    )
+    # clusters {1,2,3} (chain: non-transitive pairs) and {5,6}; 4 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: (r.keeper, r.keep) for r in dedup_decisions(docs, pairs).collect()}
+    assert out["1"] == ("1", True)
+    assert out["2"] == ("1", False) and out["3"] == ("1", False)  # via chain
+    assert out["4"] == ("4", True)                                # untouched doc
+    assert out["5"] == ("5", True) and out["6"] == ("5", False)
+    # exactly one keeper per cluster
+    keepers = {v[0] for v in out.values()}
+    assert keepers == {"1", "4", "5"}

@@ -382,3 +382,35 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pairs -> per-document keep/drop decision
+# ---------------------------------------------------------------------------
+
+def dedup_decisions(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """[id, keeper, keep]: collapse near-dup PAIRS into per-document
+    curation decisions -- the step every pair-emitting strategy above needs
+    before a corpus can actually be filtered.
+
+    Near-dup similarity is not transitive, but curation treats it as an
+    equivalence: connected components over the pair graph (iterative
+    min-label propagation with pointer jumping, operators/canonicalize.py)
+    give each cluster one keeper = its min id; documents in no pair keep
+    themselves. Two shuffles + the CC rounds; no UDF."""
+    from .canonicalize import connected_components
+
+    ids = df.select(F.col(id_col).cast("string").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)  # only ids that appear in a pair
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("keeper"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
