@@ -224,3 +224,21 @@ def test_repetition_quality_signals(spark):
     assert out[2].tbf == round(5 / 6, 4)
     assert out[3].dlf == 0.0
     assert out[4].dlf == 0.0 and out[4].tbf == 0.0
+
+
+def test_stopword_ratio_zh(spark):
+    from textchunking_and_knowledgegraph_spark.functions.textfns import (
+        stopword_ratio_zh,
+    )
+
+    rows = [
+        (1, "函数的概念是数学的基础，它在分析中很重要。"),  # natural prose
+        (2, "函数 集合 数列 向量"),                          # keyword list
+        (3, "no cjk at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.z for r in df.select(
+        "id", F.round(stopword_ratio_zh(F.col("text")), 4).alias("z")).collect()}
+    assert out[1] > 0.15          # 的/是/在/很/它... dense
+    assert out[2] == 0.0          # no function chars
+    assert out[3] == 0.0          # no CJK -> 0, not NULL

@@ -65,6 +65,19 @@ def stopword_ratio(col: Column) -> Column:
     return F.when(total > 0, stop / total).otherwise(F.lit(0.0))
 
 
+_ZH_FUNC_CHARS = "的了是在和就不都也很到要去说着对与被把让从"
+
+
+def stopword_ratio_zh(col: Column) -> Column:
+    """CJK counterpart of stopword_ratio: zh text has no whitespace tokens,
+    so the natural-language signal is function-CHAR density -- occurrences
+    of high-frequency grammatical characters over all CJK characters.
+    Natural prose lands ~0.1-0.25; keyword lists and tables land near 0."""
+    func = F.regexp_count(col, F.lit(f"[{_ZH_FUNC_CHARS}]"))
+    cjk = F.regexp_count(col, F.lit(_CJK_RANGE))
+    return F.when(cjk > 0, func / cjk).otherwise(F.lit(0.0))
+
+
 def mean_word_len(col: Column) -> Column:
     n = F.regexp_count(col, F.lit(r"\S+"))
     chars = F.length(F.regexp_replace(col, r"\s+", ""))
