@@ -33,19 +33,21 @@ from .linking import banded, with_minhash
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, sha, group_size, keep]: keep = min id per identical-content group.
 
-    Window aggregates over the sha partitioning, not groupBy + join-back:
-    ONE shuffle on sha instead of two (agg exchange + join exchange), no
-    UDF. Skew note: a pathological all-identical corpus puts one sha in one
-    partition -- at that point dedup IS the answer and the window still
-    streams it."""
-    w = Window.partitionBy("sha")
+    groupBy + join-back, NOT a window over the sha partitioning: a window
+    must buffer each key's whole partition in one task (AQE cannot split
+    window partitions), so a hot sha -- millions of identical boilerplate
+    docs -- OOMs the task. The aggregate combines map-side and the join
+    back is AQE-skew-splittable; measured at 1.28M docs the window form
+    died with UNABLE_TO_ACQUIRE_MEMORY, this form runs in seconds."""
     withsha = df.select(
         F.col(id_col).alias("id"), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha")
     )
-    return withsha.select(
-        "id", "sha",
-        F.count("*").over(w).alias("group_size"),
-        (F.col("id") == F.min("id").over(w)).alias("keep"),
+    groups = withsha.groupBy("sha").agg(
+        F.count("*").alias("group_size"), F.min("id").alias("keeper")
+    )
+    return (
+        withsha.join(groups, "sha")
+        .select("id", "sha", "group_size", (F.col("id") == F.col("keeper")).alias("keep"))
     )
 
 
@@ -119,14 +121,15 @@ def minhash_near_dups(
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
     # skew cap: drop degenerate buckets before the quadratic self-join.
-    # Window count over the join keys, not groupBy+join-back: one shuffle
-    # instead of two, and both sides of the self-join below share the same
-    # (band_id, band_hash) partitioning so the exchange is reused.
-    wb = Window.partitionBy("band_id", "band_hash")
-    bd = (
-        bd.withColumn("bsz", F.count("*").over(wb))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+    # groupBy + join-back, NOT a window count over the band keys: the cap
+    # exists precisely BECAUSE buckets get huge, and a window would buffer
+    # the very mega-bucket it is trying to drop in a single task (AQE can't
+    # split window partitions -- OOMs at 10^6-doc boilerplate clusters).
+    # The aggregate partially combines map-side; the join is skew-splittable.
+    bucket_sizes = bd.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
+    bd = bd.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
+        on=["band_id", "band_hash"],
     )
 
     pairs = (
@@ -232,11 +235,12 @@ def simhash_near_dups(
             ])
         ).alias("band"),
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
-    wb = Window.partitionBy("band_id", "band_val")
-    bands = (
-        bands.withColumn("bsz", F.count("*").over(wb))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+    # groupBy + join-back for the cap (window = mega-partition OOM; see
+    # minhash_near_dups)
+    val_sizes = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bsz"))
+    bands = bands.join(
+        val_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_val"),
+        on=["band_id", "band_val"],
     )
     cand = (
         bands.alias("l")
@@ -254,10 +258,11 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
     )
     # hamming-0 star recovery: identical simhashes always pair to their
-    # min-id representative, linear in group size, immune to the cap
-    w_sh = Window.partitionBy("simhash")
+    # min-id representative, linear in group size, immune to the cap.
+    # groupBy + join-back (map-side-combinable min; skew-splittable join)
+    reps = base.groupBy("simhash").agg(F.min("id").alias("rep"))
     star_pairs = (
-        base.withColumn("rep", F.min("id").over(w_sh))
+        base.join(reps, "simhash")
         .filter(F.col("id") != F.col("rep"))
         .select(
             F.col("rep").alias("id_a"),

@@ -53,9 +53,9 @@ CHECKS = [
       ("partial_first", "map-side partial dedup aggregation")],
      []),
     ("q19_exact_dedup",
-     [("Window", "group stats via window over the sha partitioning")],
-     [("SortMergeJoin", "no join-back: one shuffle, not two"),
-      ("BroadcastHashJoin", "no join-back: one shuffle, not two")]),
+     [("partial_count", "group stats combine map-side (skew-safe)")],
+     [("Window", "NO window over sha: a hot key would buffer one task "
+                 "(AQE cannot split window partitions)")]),
     ("ann_srp_topk",
      [("HashJoin", "probe is an equi hash join on bucket keys")],
      [("BroadcastNestedLoopJoin", "no per-query corpus scan (round-1 regression)"),
