@@ -66,6 +66,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST (materializes the round once), then run the
+        # convergence probe against the cached result -- probing before the
+        # checkpoint recomputed every round's joins twice
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -73,7 +77,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint()
+        labels = new_labels
         if changed == 0:
             break
     return labels
