@@ -670,7 +670,9 @@ def kg_add_content(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
 
     src = _docs_source(spark, sf_dir)
-    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    # split on a column the source shape actually carries -- "doc_id" only
+    # resolved through Spark's missing-reference rule (fragile)
+    half = F.pmod(F.xxhash64("path"), F.lit(2))
     out = tempfile.mkdtemp(prefix="tckg_addc_")
     try:
         materialize_graph(

@@ -104,17 +104,19 @@ def test_dedup_decisions_from_pairs(spark):
     from textchunking_and_knowledgegraph_spark.operators.dedup import dedup_decisions
 
     docs = spark.createDataFrame(
-        [{"doc_id": i, "text": "x"} for i in range(1, 7)]
+        [{"doc_id": i, "text": "x"} for i in [1, 2, 3, 4, 5, 6, 10]]
     )
-    # clusters {1,2,3} (chain: non-transitive pairs) and {5,6}; 4 alone
+    # clusters {1,2,3} (chain: non-transitive pairs), {5,6}, {2? no} and
+    # {10, 2}: numeric min must elect 2, not the lexicographic min "10"
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        [(1, 2), (2, 3), (5, 6), (2, 10)], "id_a long, id_b long"
     )
     out = {r.id: (r.keeper, r.keep) for r in dedup_decisions(docs, pairs).collect()}
-    assert out["1"] == ("1", True)
-    assert out["2"] == ("1", False) and out["3"] == ("1", False)  # via chain
-    assert out["4"] == ("4", True)                                # untouched doc
-    assert out["5"] == ("5", True) and out["6"] == ("5", False)
-    # exactly one keeper per cluster
+    # ids keep their NATIVE type end-to-end
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False)  # via chain
+    assert out[10] == (1, False)   # numeric min-id, not lexicographic "10"
+    assert out[4] == (4, True)     # untouched doc
+    assert out[5] == (5, True) and out[6] == (5, False)
     keepers = {v[0] for v in out.values()}
-    assert keepers == {"1", "4", "5"}
+    assert keepers == {1, 4, 5}

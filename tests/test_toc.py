@@ -11,6 +11,8 @@ _CASES = {
     "二十三": 23, "九十九": 99, "7": 7, "42": 42, "foo": 0, "": 0,
     # mixed ASCII/CJK forms must agree between the column expr and the twin
     "2十3": 23, "2十": 20, "十5": 15,
+    # full-width digits (第１２章 in CJK PDFs)
+    "１２": 12, "１十": 10,
 }
 
 

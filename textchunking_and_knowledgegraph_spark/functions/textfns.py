@@ -197,8 +197,13 @@ def cjk_numeral_to_int(col: Column) -> Column:
     int. The reference maps 一..十三 with an ``int()`` fallback; this covers
     the general 1-99 grammar (X十Y) plus ASCII digits, returning 0 for
     anything unparseable (the reference's behavior). Pure column algebra:
-    digit translate + one regexp — stays in codegen, no UDF."""
-    t = F.translate(F.trim(col), "零一二三四五六七八九", "0123456789")
+    digit translate + one regexp — stays in codegen, no UDF. Full-width
+    digits (第１２章, common in CJK PDFs) translate too."""
+    t = F.translate(
+        F.trim(col),
+        "零一二三四五六七八九０１２３４５６７８９",
+        "01234567890123456789",
+    )
     tens = F.regexp_extract(t, "^([0-9])?十([0-9])?$", 1)
     units = F.regexp_extract(t, "^([0-9])?十([0-9])?$", 2)
     with_ten = F.when(

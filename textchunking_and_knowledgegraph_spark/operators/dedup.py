@@ -219,9 +219,13 @@ def simhash_near_dups(
     degenerate case (hamming-0: byte-identical boilerplate) is recovered
     exactly via a linear identical-simhash star pass (min-id representative
     paired to every other member), so capping never hides exact dups."""
+    # eager checkpoint: base feeds the band self-join (both sides), the
+    # identical-hash reps aggregation, AND the star join -- without the
+    # barrier Catalyst re-executes the simhash Python stage once per branch
+    # (same hazard minhash_near_dups documents)
     base = with_simhash(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col)), text_col
-    ).select("id", "simhash")
+    ).select("id", "simhash").localCheckpoint(eager=True)
     bands = base.select(
         "id", "simhash",
         F.explode(
@@ -400,21 +404,30 @@ def dedup_decisions(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
     Near-dup similarity is not transitive, but curation treats it as an
     equivalence: connected components over the pair graph (iterative
     min-label propagation with pointer jumping, operators/canonicalize.py)
-    give each cluster one keeper = its min id; documents in no pair keep
-    themselves. Two shuffles + the CC rounds; no UDF."""
+    group the documents; each cluster's keeper is the min id IN THE ID'S
+    NATIVE TYPE (CC labels are strings, whose lexicographic min would elect
+    "10" over "2" for numeric ids — the keeper is therefore re-derived per
+    component with a typed min + join back). Documents in no pair keep
+    themselves. No UDF."""
     from .canonicalize import connected_components
 
-    ids = df.select(F.col(id_col).cast("string").alias("id")).distinct()
+    ids = df.select(F.col(id_col).alias("orig_id")).distinct().withColumn(
+        "id", F.col("orig_id").cast("string")
+    )
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(edges)  # only ids that appear in a pair
+    labeled = ids.join(comp, "id", "left").withColumn(
+        "component", F.coalesce("component", F.col("id"))
+    )
+    keepers = labeled.groupBy("component").agg(F.min("orig_id").alias("keeper"))
     return (
-        ids.join(comp, "id", "left")
+        labeled.join(keepers, "component")
         .select(
-            "id",
-            F.coalesce("component", F.col("id")).alias("keeper"),
-            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+            F.col("orig_id").alias("id"),
+            "keeper",
+            (F.col("orig_id") == F.col("keeper")).alias("keep"),
         )
     )

@@ -61,17 +61,26 @@ def write_postings(
     io: TableIO,
     name: str = "postings",
     n_term_buckets: int = 64,
+    files_per_bucket: int = 4,
 ) -> None:
     """Materialize the inverted index partitioned by term hash bucket
     (`es_importer.py:40-51` bulk import analog). A term lookup reads exactly
     one partition directory; ``n_term_buckets`` sizes partitions for the
-    target corpus (hundreds+ at 100 TB)."""
+    target corpus (hundreds+ at 100 TB).
+
+    Write partitioning salts the bucket with a term hash so a bucket is
+    never a single task/file -- the stopword bucket holds a huge share of
+    all postings, and one-task-per-bucket is a multi-TB straggler at the
+    target scale (same fix as the edge-table materialize)."""
     bucketed = postings.withColumn(
         "term_bucket",
         F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"),
     )
+    salt = F.pmod(F.xxhash64("term", "doc_id"), F.lit(files_per_bucket))
     io.write(
-        bucketed.repartition(n_term_buckets, "term_bucket"),
+        bucketed.repartition(
+            n_term_buckets * files_per_bucket, F.col("term_bucket"), salt
+        ),
         name,
         partition_cols=["term_bucket"],
     )

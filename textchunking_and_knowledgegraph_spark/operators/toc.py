@@ -35,7 +35,9 @@ TOC_SCHEMA = T.StructType(
 )
 
 _CHAPTER_RE = re.compile(r"#\s*第(.*?)(章|单元)")
-_CN_TRANS = str.maketrans("零一二三四五六七八九", "0123456789")
+_CN_TRANS = str.maketrans(
+    "零一二三四五六七八九０１２３４５６７８９", "01234567890123456789"
+)
 
 
 def _cn_to_int(s: str) -> int:

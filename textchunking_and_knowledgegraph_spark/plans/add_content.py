@@ -51,11 +51,14 @@ def add_content(
     # n_buckets would hash repos into different partitions than their
     # existing rows, break the anti-join, and write duplicates.
     meta_path = os.path.join(output_dir, "_graph_meta.json")
+    files_per_bucket = 4
     if os.path.exists(meta_path):
         import json
 
         with open(meta_path) as f:
-            n_buckets = int(json.load(f)["n_buckets"])
+            meta = json.load(f)
+        n_buckets = int(meta["n_buckets"])
+        files_per_bucket = int(meta.get("files_per_bucket", files_per_bucket))
 
     new_edges = (
         build_triples(spark, new_source, cfg)
@@ -85,8 +88,8 @@ def add_content(
         incoming = new_edges.join(existing, EDGE_KEY, "left_anti")
         merged = existing.unionByName(incoming.select(*existing.columns))
         # salt the write partitioning: repo_bucket alone = one multi-TB
-        # task per bucket at scale (same fix as materialize_graph)
-        files_per_bucket = 4
+        # task per bucket at scale (same fix as materialize_graph);
+        # files_per_bucket adopted from _graph_meta.json above
         salt = F.pmod(F.xxhash64("subj"), F.lit(files_per_bucket))
         (
             merged.repartition(

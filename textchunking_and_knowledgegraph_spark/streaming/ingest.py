@@ -51,15 +51,17 @@ def stream_ingest_available_now(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Completed-bootstrap marker = the VERTICES dir: materialize writes
-        # edges first and vertices last, so a crash mid-bootstrap leaves
-        # edges without vertices. Dispatching on edges alone would send the
-        # replayed batch down add_content, which reads the missing vertices
-        # table and wedges the stream forever. Re-running materialize is
-        # safe: the manifest checkpoint skips committed buckets.
-        bootstrapped = os.path.isdir(
-            os.path.join(output_dir, "edges")
-        ) and os.path.isdir(os.path.join(output_dir, "vertices"))
+        # Completed-bootstrap marker = the vertices _SUCCESS file:
+        # materialize writes edges first and vertices last, and Spark
+        # commits _SUCCESS only when the vertex write finishes -- a bare
+        # isdir() check is true DURING a vertex write (partial part-files),
+        # so a crash there would send the replayed batch down add_content
+        # against an unreadable table and wedge the stream. Re-running
+        # materialize is safe: the manifest checkpoint skips committed
+        # buckets.
+        bootstrapped = os.path.exists(
+            os.path.join(output_dir, "vertices", "_SUCCESS")
+        )
         if bootstrapped:
             add_content(
                 spark, output_dir, batch_df,
