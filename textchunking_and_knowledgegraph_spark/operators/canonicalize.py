@@ -28,11 +28,14 @@ def connected_components(
     """edges[src, dst] (string ids) -> [id, component] where component is the
     min id in the connected component. Isolated vertices of the edge set are
     included (every endpoint appears)."""
+    # persist the symmetrized edge set: every iteration joins it twice, and
+    # without the barrier the union+distinct re-executes per round
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -80,6 +83,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels are checkpointed (no lineage into sym) -- safe to release
+    sym.unpersist()
     return labels
 
 

@@ -419,15 +419,20 @@ def dedup_decisions(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(edges)  # only ids that appear in a pair
-    labeled = ids.join(comp, "id", "left").withColumn(
-        "component", F.coalesce("component", F.col("id"))
+    # keeper per component from the SMALL paired-id side (components cover
+    # only ids that appear in a pair); the full 1.28M-id table is joined
+    # exactly once, against two broadcast-size maps
+    keepers = (
+        comp.join(ids.select("id", "orig_id"), "id")
+        .groupBy("component")
+        .agg(F.min("orig_id").alias("keeper"))
     )
-    keepers = labeled.groupBy("component").agg(F.min("orig_id").alias("keeper"))
     return (
-        labeled.join(keepers, "component")
+        ids.join(comp, "id", "left")
+        .join(keepers, "component", "left")
         .select(
             F.col("orig_id").alias("id"),
-            "keeper",
-            (F.col("orig_id") == F.col("keeper")).alias("keep"),
+            F.coalesce("keeper", F.col("orig_id")).alias("keeper"),
+            (F.col("orig_id") == F.coalesce("keeper", F.col("orig_id"))).alias("keep"),
         )
     )
