@@ -95,10 +95,14 @@ def minhash_near_dups(
     ~97% pair recall at J=0.7, collapsing fast below 0.5.
 
     Scale guards (the 100 TB story):
-      * ``max_bucket``: band buckets larger than this are dropped before the
-        self-join -- a crowded bucket is a degenerate/boilerplate signature
-        whose pair count grows O(k^2); true near-dups still collide in their
-        other (bands-1) bands. Standard skew cap for web-scale dedup.
+      * ``max_bucket``: band buckets larger than this skip the quadratic
+        self-join -- a crowded bucket is a boilerplate family whose pair
+        count grows O(k^2). Instead of dropping those buckets outright
+        (which silently loses whole mega-dup families: a family of 2,560
+        template replicas occupies oversized buckets in EVERY band), each
+        oversized bucket emits linear STAR pairs to its min-id member;
+        the family still groups transitively via ``dedup_decisions`` and
+        every emitted pair passes the same exact verify.
       * signature prefilter: estimated Jaccard = fraction of equal minhash
         components, computed with zip_with/filter (whole-stage codegen, no
         Python); only pairs within ``sig_margin`` of the threshold reach the
@@ -119,25 +123,46 @@ def minhash_near_dups(
     sigs = with_minhash(base, "text", n_perm).localCheckpoint(eager=True)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
-    # skew cap: drop degenerate buckets before the quadratic self-join.
-    # groupBy + join-back, NOT a window count over the band keys: the cap
-    # exists precisely BECAUSE buckets get huge, and a window would buffer
-    # the very mega-bucket it is trying to drop in a single task (AQE can't
-    # split window partitions -- OOMs at 10^6-doc boilerplate clusters).
-    # The aggregate partially combines map-side; the join is skew-splittable.
-    bucket_sizes = bd.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
-    bd = bd.join(
+    # skew cap: oversized buckets skip the quadratic self-join and emit
+    # linear star pairs instead. groupBy + join-back for the sizes, NOT a
+    # window count over the band keys: a window would buffer the very
+    # mega-bucket it is trying to tame in a single task (AQE can't split
+    # window partitions -- OOMs at 10^6-doc boilerplate clusters). The
+    # aggregate partially combines map-side; the joins are skew-splittable.
+    bucket_sizes = (
+        bd.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"), F.min("id").alias("bucket_rep"))
+        .localCheckpoint(eager=True)  # feeds both branches below
+    )
+    small = bd.join(
         bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
         on=["band_id", "band_hash"],
     )
-
-    pairs = (
-        bd.alias("l")
-        .join(bd.alias("r"), on=["band_id", "band_hash"])
+    quad_pairs = (
+        small.alias("l")
+        .join(small.alias("r"), on=["band_id", "band_hash"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # oversized buckets: every member pairs with the bucket's min id --
+    # O(bucket size), not O(bucket size^2); dedup below collapses the
+    # repeats across bands
+    star_pairs = (
+        bd.join(
+            # oversized buckets are FEW by definition -- broadcast the key
+            # set so the star branch never shuffles the band rows
+            F.broadcast(
+                bucket_sizes.filter(F.col("bsz") > max_bucket)
+                .select("band_id", "band_hash", "bucket_rep")
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id") != F.col("bucket_rep"))
+        .select(
+            F.col("bucket_rep").alias("id_a"), F.col("id").alias("id_b")
+        )
+    )
+    pairs = quad_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
     sig_cols = sigs.select(
         F.col("id"), F.col("sig"), F.col("text")
