@@ -135,11 +135,16 @@ def main() -> int:
     docs.select(_noop_udf(F.col("text"))).write.format("noop").mode("overwrite").save()
     t("lineitem").limit(1).count()
 
+    # best-of-2: this (virtualized) box swings 30%+ between neighboring
+    # minutes; a single pass records the noise, the per-query minimum over
+    # two interleaved passes records the engine
     timings: dict[str, float] = {}
-    for name, fn in benches.items():
-        t0 = time.time()
-        _run(fn())
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name, fn in benches.items():
+            t0 = time.time()
+            _run(fn())
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     n_docs = docs.count()
