@@ -492,12 +492,16 @@ def _paper_source(spark):
 
 
 def paper_questions(spark, sf_dir):
-    """Paper pipeline (T4-T7/F5-F6/J5): exam markdown -> typed question
-    table. Self-contained deterministic fixture corpus."""
+    """Paper pipeline (T1-T7/F5-F6/J5): exam markdown -> typed question
+    table, through the PAPER-path normalizer (dot respacing + OCR
+    de-hyphenation, `md_paper_parser.py:52-59,190-198` -- the repairs the
+    book path must not apply). Self-contained deterministic fixture corpus."""
     from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
-    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import (
+        prepared_paper_source,
+    )
 
-    return parse_papers(prepared_source(spark, _paper_source(spark)))
+    return parse_papers(prepared_paper_source(spark, _paper_source(spark)))
 
 
 def paper_knowledge_edges(spark, sf_dir):
@@ -507,9 +511,11 @@ def paper_knowledge_edges(spark, sf_dir):
         question_knowledge_edges,
         vocabulary_matches,
     )
-    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import (
+        prepared_paper_source,
+    )
 
-    qs = parse_papers(prepared_source(spark, _paper_source(spark)))
+    qs = parse_papers(prepared_paper_source(spark, _paper_source(spark)))
     vocab = ["函数的单调性", "等差数列", "平面向量", "概率的基本性质"]
     return question_knowledge_edges(qs, vocabulary_matches(qs, vocab))
 

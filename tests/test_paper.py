@@ -147,3 +147,27 @@ def test_analysis_stays_with_its_question(spark):
     assert len(rows) == 2
     assert rows[0].answer == "A" and rows[0].analysis is None
     assert rows[1].answer == "B" and "第二题的解析" in rows[1].analysis
+
+
+def test_paper_path_applies_ocr_repairs(spark):
+    """The paper pipeline (unlike the book path) must fuse CJK text split
+    across newlines and respace dots before parsing (T2/T3)."""
+    doc = (
+        "# 第一部分\n"
+        "## 1. 下面的材料被OCR折\n行了，请阅读。\n【答案】A\n"
+        "【解析】这个解析也被折\n行处理。\n"
+    )
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import (
+        prepared_paper_source,
+    )
+
+    src = spark.createDataFrame(
+        [("p", "x.md", "c", "markdown", doc)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = parse_papers(prepared_paper_source(spark, src)).collect()
+    assert len(rows) == 1
+    # the mid-word newline is fused away in both question and analysis
+    assert "折行了" in rows[0].question and "折\n行" not in rows[0].question
+    assert "折行处理" in rows[0].analysis

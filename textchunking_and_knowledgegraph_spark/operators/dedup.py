@@ -61,12 +61,6 @@ def _word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
-def _shingle_text(text: str, k: int = 3) -> str:
-    # reuse the char-ngram minhash machinery by feeding it a canonical
-    # whitespace-joined form; shingling happens in the jaccard verify below
-    return " ".join((text or "").lower().split())
-
-
 @F.pandas_udf(T.DoubleType())
 def _shingle_jaccard(left: pd.Series, right: pd.Series) -> pd.Series:
     out = np.empty(len(left), dtype=np.float64)

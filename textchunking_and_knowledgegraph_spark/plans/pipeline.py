@@ -71,6 +71,17 @@ def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = No
     return df
 
 
+def prepared_paper_source(spark: SparkSession, source) -> DataFrame:
+    """Paper-path scan + normalize: T1 + T2 + T3 (dot respacing and OCR
+    de-hyphenation/CJK line fusing, `md_paper_parser.py:52-59,190-198`) --
+    the repairs the BOOK path must NOT apply (see normalize_markdown's
+    docstring). sha stays the raw-content invariant (computed at scan)."""
+    from ..functions.normalize import normalize_paper
+
+    df = scan_source(spark, source)
+    return df.withColumn("content", normalize_paper(F.col("content")))
+
+
 def build_chunks(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
     cfg = cfg or PipelineConfig()
     return chunk_documents(prepared_source(spark, source, cfg), overlap=cfg.overlap)
