@@ -171,3 +171,23 @@ def test_paper_path_applies_ocr_repairs(spark):
     # the mid-word newline is fused away in both question and analysis
     assert "折行了" in rows[0].question and "折\n行" not in rows[0].question
     assert "折行处理" in rows[0].analysis
+
+
+def test_paper_path_drops_image_lines(spark):
+    """F10: markdown image-only lines vanish before parsing (paper path)."""
+    doc = (
+        "# 第一部分\n"
+        "## 1. 看图回答。\n![fig](img/1.png)\n选项如下。\n【答案】B\n"
+    )
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import (
+        prepared_paper_source,
+    )
+
+    src = spark.createDataFrame(
+        [("p", "x.md", "c", "markdown", doc)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = parse_papers(prepared_paper_source(spark, src)).collect()
+    assert len(rows) == 1 and "![fig]" not in rows[0].question
+    assert "选项如下" in rows[0].question

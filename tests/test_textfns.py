@@ -242,3 +242,19 @@ def test_stopword_ratio_zh(spark):
     assert out[1] > 0.15          # 的/是/在/很/它... dense
     assert out[2] == 0.0          # no function chars
     assert out[3] == 0.0          # no CJK -> 0, not NULL
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and then the fox "
+            "rests by the river for a while in the afternoon sun. " * 4),
+        (2, "!!!???!!!"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.q for r in df.select(
+        "id", textfns.quality_score(F.col("text")).alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    assert out[1] > 0.9            # long natural prose scores high
+    assert out[2] < 0.1            # pure punctuation scores near zero
+    assert out[1] > out[3] > out[2]  # empty = punct-free baseline between

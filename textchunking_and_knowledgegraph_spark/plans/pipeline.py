@@ -72,14 +72,17 @@ def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = No
 
 
 def prepared_paper_source(spark: SparkSession, source) -> DataFrame:
-    """Paper-path scan + normalize: T1 + T2 + T3 (dot respacing and OCR
-    de-hyphenation/CJK line fusing, `md_paper_parser.py:52-59,190-198`) --
+    """Paper-path scan + normalize: F10 image-line drop + T1 + T2 + T3
+    (dot respacing and OCR de-hyphenation/CJK line fusing,
+    `LLM_correction.py:392-394`, `md_paper_parser.py:52-59,190-198`) --
     the repairs the BOOK path must NOT apply (see normalize_markdown's
     docstring). sha stays the raw-content invariant (computed at scan)."""
-    from ..functions.normalize import normalize_paper
+    from ..functions.normalize import drop_image_lines, normalize_paper
 
     df = scan_source(spark, source)
-    return df.withColumn("content", normalize_paper(F.col("content")))
+    return df.withColumn(
+        "content", normalize_paper(drop_image_lines(F.col("content")))
+    )
 
 
 def build_chunks(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
