@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = [s for s in stages if s not in ALL_STAGES]
+    if unknown:
+        print(f"unknown stages: {unknown} (valid: {ALL_STAGES})", file=sys.stderr)
+        return 1
 
     ensure_input(args.sf_dir)
 
@@ -82,15 +86,19 @@ def main() -> int:
         })
     pairs_df = None
     if "minhash" in stages or "decisions" in stages:
+        # pairs are a prerequisite of 'decisions'; only REPORT the minhash
+        # stage when the caller asked for it
         t0 = time.time()
         pairs_df = minhash_near_dups(
             docs, "doc_id", "text", threshold=0.9
         ).localCheckpoint(eager=True)
-        results["minhash"] = {
-            "seconds": round(time.time() - t0, 1), "pairs": pairs_df.count()
-        }
-        print(json.dumps({"stage": "minhash", "docs": n_docs, **results["minhash"]}),
-              flush=True)
+        n_pairs = pairs_df.count()
+        if "minhash" in stages:
+            results["minhash"] = {
+                "seconds": round(time.time() - t0, 1), "pairs": n_pairs
+            }
+            print(json.dumps({"stage": "minhash", "docs": n_docs,
+                              **results["minhash"]}), flush=True)
     if "decisions" in stages:
         run("decisions", lambda: {
             "drops": dedup_decisions(docs, pairs_df).filter("keep = false").count()

@@ -191,3 +191,26 @@ def test_paper_path_drops_image_lines(spark):
     rows = parse_papers(prepared_paper_source(spark, src)).collect()
     assert len(rows) == 1 and "![fig]" not in rows[0].question
     assert "选项如下" in rows[0].question
+
+
+def test_paper_path_strips_publisher_noise(spark):
+    """F9: a publisher heading must not reach the parser, where it would
+    overwrite the part header that carries question-type keywords."""
+    doc = (
+        "# 阅读理解部分\n"
+        "# 人民教育出版社\n"
+        "## 1. 阅读下文回答。\n【答案】C\n"
+    )
+    from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import (
+        prepared_paper_source,
+    )
+
+    src = spark.createDataFrame(
+        [("p", "x.md", "c", "markdown", doc)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    rows = parse_papers(prepared_paper_source(spark, src)).collect()
+    assert len(rows) == 1
+    # the part header survived the publisher line -> type classified 阅读理解
+    assert rows[0].question_type == "阅读理解"

@@ -37,6 +37,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    try:
+        return _cc_loop(sym, max_iter)
+    finally:
+        # always release -- a leaked persisted edge set accumulates across
+        # repeated canonicalize calls (streaming foreachBatch, retries)
+        sym.unpersist()
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -83,8 +92,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # labels are checkpointed (no lineage into sym) -- safe to release
-    sym.unpersist()
+    # labels are checkpointed (no lineage into sym) -- caller releases sym
     return labels
 
 

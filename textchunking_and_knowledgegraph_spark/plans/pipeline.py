@@ -71,17 +71,26 @@ def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = No
     return df
 
 
-def prepared_paper_source(spark: SparkSession, source) -> DataFrame:
-    """Paper-path scan + normalize: F10 image-line drop + T1 + T2 + T3
-    (dot respacing and OCR de-hyphenation/CJK line fusing,
-    `LLM_correction.py:392-394`, `md_paper_parser.py:52-59,190-198`) --
-    the repairs the BOOK path must NOT apply (see normalize_markdown's
-    docstring). sha stays the raw-content invariant (computed at scan)."""
+def prepared_paper_source(
+    spark: SparkSession, source, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Paper-path preparation: everything ``prepared_source`` does (scan,
+    sha, doc_id, F9 publisher-noise drop + T1 via normalize_markdown, lang
+    gating, small-source partition bump) PLUS the paper-only repairs --
+    F10 image-line drop, T2 dot respacing, T3 OCR de-hyphenation/CJK line
+    fusing (`LLM_correction.py:392-394`, `md_paper_parser.py:52-59,190-198`).
+    The extra chain respects the same lang gate: code/binary rows are never
+    rewritten. sha stays the raw-content invariant (computed at scan)."""
     from ..functions.normalize import drop_image_lines, normalize_paper
 
-    df = scan_source(spark, source)
+    cfg = cfg or PipelineConfig()
+    df = prepared_source(spark, source, cfg)
     return df.withColumn(
-        "content", normalize_paper(drop_image_lines(F.col("content")))
+        "content",
+        F.when(
+            F.col("lang").isin(*cfg.normalize_langs),
+            normalize_paper(drop_image_lines(F.col("content"))),
+        ).otherwise(F.col("content")),
     )
 
 
@@ -142,6 +151,7 @@ def build_vertices(triples: DataFrame) -> DataFrame:
 __all__ = [
     "PipelineConfig",
     "prepared_source",
+    "prepared_paper_source",
     "build_chunks",
     "build_triples",
     "build_vertices",
