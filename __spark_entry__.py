@@ -760,13 +760,26 @@ def graph_multi_hop(spark, sf_dir):
 
 def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> deterministic fake decode ->
-    typed feature rows (real decode stubbed; Spark-side shape is real)."""
+    typed feature rows (real decode stubbed; Spark-side shape is real).
+    The contract projection serializes the feature vector to a CSV string --
+    array columns crash the driver's pandas-based result canonicalizer
+    (same treatment as graph_random_walk's a->b->c path)."""
     from textchunking_and_knowledgegraph_spark.operators.multimodal import (
         extract_features,
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, n=64))
+    feats = extract_features(synthetic_media(spark, n=64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_csv"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

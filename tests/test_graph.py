@@ -143,7 +143,7 @@ def test_random_walk_paths_valid_and_bounded(spark):
         nodes = r.walk.split("->")
         assert nodes[0] == "数学" and r.steps == len(nodes) - 1 <= 4
         for a, b in zip(nodes, nodes[1:]):
-            assert ("数学" == a or True) and (a, "下位", b) in edge_set
+            assert (a, "下位", b) in edge_set
 
     # a dead-end seed stays put (walk ends, reference behavior)
     dead = spark.createDataFrame([{"seed_node": "二次幂"}])

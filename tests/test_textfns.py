@@ -183,7 +183,7 @@ def test_scrub_pii_preserves_numeric_ranges_and_punctuation(spark):
     )
 
     rows = [
-        (1, "years 2019-2020 and pages 100-200 stay intact"),
+        (1, "years 2019-2020 and pages 100-200 and span 100-2000 stay intact"),
         (2, "see https://foo.bar/x?y=1, next sentence"),
         (3, "https://example.com/555-1234 x"),
         (4, None),

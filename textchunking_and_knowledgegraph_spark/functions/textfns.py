@@ -108,16 +108,17 @@ _EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # final char class keeps trailing sentence punctuation OUT of the match
 _URL_RE = r"https?://[^\s<>\"]*[^\s<>\".,;!?)]"
 # Deliberately conservative: an international +CC form, a parenthesized
-# area code, a 3-3-4 three-group number, or a bare 3-4 local pair. Plain
-# n-n ranges with symmetric widths (years 2019-2020, pages 100-200) do
-# NOT match — a looser pattern was observed corrupting ordinary numeric
-# ranges in textbook-style corpora.
+# area code, a 3-3-4 three-group number, or a 3-4 local pair gated on an
+# explicit phone context (tel/call/phone/电话). Plain n-n numeric ranges
+# (years 2019-2020, pages 100-200, asymmetric 100-2000) do NOT match —
+# looser patterns (including an ungated 3-4 pair) were observed corrupting
+# ordinary numeric ranges in textbook-style corpora.
 _PHONE_RE = (
     r"(?<![0-9])(?:"
     r"\+[0-9]{1,3}[\s\-][0-9]{3,4}[\s\-][0-9]{3,4}"
     r"|\([0-9]{2,4}\)[\s\-]?[0-9]{3,4}[\s\-]?[0-9]{3,4}"
     r"|[0-9]{3}[\s\-][0-9]{3}[\s\-][0-9]{4}"
-    r"|[0-9]{3}[\s\-][0-9]{4}"
+    r"|(?<=(?i:tel|call|phone|电话)[\s:：.\-]{1,3})[0-9]{3}[\s\-][0-9]{4}"
     r")(?![0-9])"
 )
 _IP_RE = r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"

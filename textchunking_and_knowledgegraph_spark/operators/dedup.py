@@ -94,9 +94,14 @@ def minhash_near_dups(
         count grows O(k^2). Instead of dropping those buckets outright
         (which silently loses whole mega-dup families: a family of 2,560
         template replicas occupies oversized buckets in EVERY band), each
-        oversized bucket emits linear STAR pairs to its min-id member;
-        the family still groups transitively via ``dedup_decisions`` and
-        every emitted pair passes the same exact verify.
+        oversized bucket emits linear STAR pairs to its min-id member.
+        HONEST RECALL BOUND (like the simhash cap): a star pair still
+        passes the exact Jaccard verify, so a member whose similarity to
+        the bucket's rep is below threshold is LOST even if it is a true
+        near-dup of some other member -- capped families group via
+        ``dedup_decisions`` only through members that verify against the
+        rep. An accepted trade at web scale; uncapped buckets keep full
+        pair recall.
       * signature prefilter: estimated Jaccard = fraction of equal minhash
         components, computed with zip_with/filter (whole-stage codegen, no
         Python); only pairs within ``sig_margin`` of the threshold reach the
