@@ -278,10 +278,13 @@ def q22_embedding_near_dups(spark, sf_dir):
 
 def q23_quality_metrics(spark, sf_dir):
     """Quality scoring: punct ratio + mean word length + stopword ratio +
-    duplicate-line fraction (Gopher-style repetition signal) — one scan,
-    higher-order array lambdas JVM-side, mirrored arithmetic."""
+    duplicate-line fraction (Gopher-style repetition signal) + the
+    language-aware composite quality_score (zh uses function-char density,
+    en uses stopword ratio) — one scan, higher-order array lambdas
+    JVM-side, mirrored arithmetic."""
     from textchunking_and_knowledgegraph_spark.functions.textfns import (
         dup_line_fraction,
+        quality_score,
     )
 
     doc = _t(spark, sf_dir, "documents")
@@ -301,6 +304,7 @@ def q23_quality_metrics(spark, sf_dir):
         ),
         F.round(F.when(total > 0, stop / total).otherwise(0.0), 6).alias("stop_ratio"),
         F.round(dup_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
+        quality_score(F.col("text")).alias("quality"),
     )
 
 
@@ -362,13 +366,22 @@ def q29_events_filtered_agg(spark, sf_dir):
 
 
 def q31_fuzzy_search(spark, sf_dir):
-    """ES fuzzy_search analog (`ES_Importer/es_importer.py:62-73`): edit
-    distance <= 1 against a probe term, JVM levenshtein."""
-    return (
-        _t(spark, sf_dir, "part")
-        .filter(F.levenshtein(F.col("p_brand"), F.lit("Brand#33")) <= 1)
-        .select("p_partkey", "p_brand")
+    """ES fuzzy_search analog (`ES_Importer/es_importer.py:62-73`) over the
+    REAL posting table: the probe expands to its edit-distance-1
+    neighborhood in the distinct-term dictionary (JVM levenshtein with a
+    length prefilter, broadcast-size candidate set), and the matched
+    postings come back with their term frequencies -- the round-2 version
+    ran levenshtein over part.p_brand, not the index."""
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        build_postings,
+        fuzzy_terms,
     )
+
+    postings = build_postings(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    cand = fuzzy_terms(postings, "sparc", max_dist=1)
+    return postings.join(F.broadcast(cand), "term").select("term", "doc_id", "tf")
 
 
 def q32_match_phrase(spark, sf_dir):
@@ -847,6 +860,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+# DuckDB CTE producing the posting table (term, doc_id, tf) from the
+# documents view -- 1:1 mirror of operators/postings.py ``tokenize`` +
+# ``build_postings``: lowercase latin/digit runs unioned with CJK char
+# bigrams (单字 runs emit themselves), then the (term, doc_id) count.
+_POSTINGS_SQL = r"""
+            WITH posts AS (
+              SELECT t AS term, doc_id, COUNT(*) AS tf
+              FROM (
+                SELECT doc_id, unnest(list_concat(
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              tk -> tk <> ''),
+                  flatten(list_transform(regexp_extract_all(text, '[一-鿿]+'),
+                    r -> CASE WHEN length(r) = 1 THEN [r]
+                         ELSE list_transform(range(1, length(r)),
+                                             i -> substring(r, i, 2)) END))
+                )) AS t
+                FROM documents
+              )
+              GROUP BY 1, 2
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOP)
     return {
@@ -1008,6 +1044,11 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.emb, a.emb))
                      * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
         """,
+        # quality mirrors functions/textfns.py quality_score exactly:
+        # length_ok*0.4 + punct_ok*0.3 + stop_ok*0.3 with the QUALITY punct
+        # class (incl. quotes/backtick -- wider than the punct_ratio column
+        # above) and the language-aware stop signal (zh -> function-char
+        # density over CJK chars; else English stopword token ratio).
         "q23_quality_metrics": rf"""
             SELECT doc_id,
                    ROUND(CASE WHEN length(text) > 0
@@ -1022,11 +1063,35 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stop_ratio,
                    ROUND(CASE WHEN len(nlines) > 0
                      THEN CAST(len(nlines) - len(list_distinct(nlines)) AS DOUBLE)
-                          / len(nlines) ELSE 0.0 END, 6) AS dup_line_frac
+                          / len(nlines) ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(
+                     (CASE WHEN length(text) >= 200 THEN 1.0
+                           ELSE CAST(length(text) AS DOUBLE) / 200.0 END) * 0.4
+                     + (1.0 - LEAST(CAST(1.0 AS DOUBLE),
+                         (CASE WHEN length(text) > 0
+                           THEN len(regexp_extract_all(text,
+                                '[\.,;:!\?\(\)\[\]\{{\}}"''`]')) / length(text)
+                           ELSE 0.0 END) * 5)) * 0.3
+                     + LEAST(CAST(1.0 AS DOUBLE),
+                         (CASE WHEN (CASE WHEN length(text) > 0
+                                 THEN cjk_cnt / length(text) ELSE 0.0 END) > 0.3
+                           THEN (CASE WHEN cjk_cnt > 0
+                                 THEN func_cnt / CAST(cjk_cnt AS DOUBLE)
+                                 ELSE 0.0 END)
+                           ELSE (CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_filter(toks,
+                                      t -> list_contains([{stop_list}], t)))
+                                      AS DOUBLE) / len(toks)
+                                 ELSE 0.0 END) END) * 4) * 0.3,
+                     6) AS quality
             FROM (SELECT doc_id, text,
                          regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
                          list_filter(string_split(text, chr(10)),
-                                     x -> length(trim(x)) > 0) AS nlines
+                                     x -> length(trim(x)) > 0) AS nlines,
+                         len(regexp_extract_all(text, '[一-鿿]')) AS cjk_cnt,
+                         len(regexp_extract_all(text,
+                             '[的了是在和就不都也很到要去说着对与被把让从]'))
+                           AS func_cnt
                   FROM documents)
         """,
         "q25_orders_by_month": """
@@ -1052,9 +1117,18 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS ord
             FROM events
         """,
-        "q31_fuzzy_search": """
-            SELECT p_partkey, p_brand FROM part
-            WHERE levenshtein(p_brand, 'Brand#33') <= 1
+        # posting-table tokenization shared by q31/q35 (mirrors
+        # operators/postings.py tokenize: latin/digit runs + CJK char
+        # bigrams). The driver corpus is latin-only, so the CJK arm is a
+        # verified no-op here; its zh behavior is pinned against the same
+        # SQL in tests/test_postings.py::test_cjk_tokenizer_matches_duckdb_oracle.
+        "q31_fuzzy_search": _POSTINGS_SQL + """
+            , cand AS (
+              SELECT DISTINCT term FROM posts
+              WHERE abs(length(term) - length('sparc')) <= 1
+                AND levenshtein(term, 'sparc') <= 1
+            )
+            SELECT p.term, p.doc_id, p.tf FROM posts p JOIN cand USING (term)
         """,
         "q32_match_phrase": """
             SELECT source, COUNT(*) AS hits FROM documents
@@ -1105,14 +1179,7 @@ def oracle_sql() -> dict[str, str]:
                 '．（），', '.(),') AS norm
             FROM documents
         """,
-        "q35_es_postings": r"""
-            SELECT t AS term, doc_id, COUNT(*) AS tf
-            FROM (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
-              FROM documents
-            )
-            WHERE t <> ''
-            GROUP BY 1, 2
+        "q35_es_postings": _POSTINGS_SQL + """
+            SELECT term, doc_id, tf FROM posts
         """,
     }

@@ -86,10 +86,20 @@ def mean_word_len(col: Column) -> Column:
 
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: penalize extreme punct ratio, very
-    short docs, and stopword-free (likely non-natural) text. Weights frozen."""
+    short docs, and stopword-free (likely non-natural) text. Weights frozen.
+
+    Language-aware naturalness signal: zh text (per ``language_id``) has no
+    whitespace tokens, so the English stopword ratio scored ALL Chinese
+    prose as non-natural (round-2 finding: the reference's entire corpus is
+    Chinese) -- the zh branch uses function-CHAR density
+    (``stopword_ratio_zh``) instead. Both branches stay SQL-expressible
+    (mirrored in the q23 DuckDB oracle)."""
     length_ok = F.when(F.length(col) >= 200, F.lit(1.0)).otherwise(F.length(col) / F.lit(200.0))
     punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5)
-    stop_ok = F.least(F.lit(1.0), stopword_ratio(col) * 4)
+    stop_sig = F.when(
+        language_id(col) == "zh", stopword_ratio_zh(col)
+    ).otherwise(stopword_ratio(col))
+    stop_ok = F.least(F.lit(1.0), stop_sig * 4)
     return F.round(length_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3, 6)
 
 

@@ -15,12 +15,47 @@ partially aggregates map-side before the exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import TableIO
 
 TOKEN_PATTERN = "[^a-z0-9]+"
+CJK_RUN = "[一-鿿]+"
+
+
+def tokenize(text_col: Column, token_pattern: str = TOKEN_PATTERN) -> Column:
+    """array<string> of index terms: latin/digit runs + CJK char bigrams.
+
+    Deterministic stand-in for the reference's ik_max_word analyzer
+    (`ES_Importer/es_importer.py:23-27` -- a *Chinese* analyzer over a
+    Chinese-textbook corpus): CJK has no whitespace word boundaries, so each
+    CJK run emits its character bigrams (单字 run of length 1 emits itself)
+    -- the core recall behavior of CJK analyzers -- while latin/digit text
+    lowercases and splits on non-alphanumeric runs. Pure column algebra
+    (split/regexp_extract_all/transform/substr), stays in whole-stage
+    codegen; a pure-zh document now produces postings (round-2 gap: the
+    latin-only split returned zero terms for the reference's own corpus).
+    """
+    latin = F.filter(
+        F.split(F.lower(text_col), token_pattern), lambda t: t != ""
+    )
+    runs = F.regexp_extract_all(text_col, F.lit(CJK_RUN), 0)
+    grams = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return F.concat(latin, grams)
 
 
 def build_postings(
@@ -31,17 +66,14 @@ def build_postings(
 ) -> DataFrame:
     """(term, doc_id, tf): one posting row per distinct term per document.
 
-    Tokenization is the deterministic stand-in for the reference's
-    ik_max_word analyzer (`es_importer.py:23-27`): lowercase + split on
-    non-alphanumeric runs. Stays in whole-stage codegen; the only shuffle is
-    the (term, doc_id) aggregation, which combines map-side.
+    One scan, one explode of the ``tokenize`` term array; the only shuffle
+    is the (term, doc_id) aggregation, which combines map-side.
     """
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("term"),
+            F.explode(tokenize(F.col(text_col), token_pattern)).alias("term"),
         )
-        .filter(F.col("term") != "")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
@@ -84,18 +116,49 @@ def write_postings(
         name,
         partition_cols=["term_bucket"],
     )
+    # index-stats sidecar (the ES index-stats analog): n_docs is needed by
+    # every tfidf_search idf computation -- computing it per query would be
+    # a full distinct-count pass over the posting table (a 100 TB scan in
+    # the per-query plan). One aggregation at WRITE time, amortized over
+    # every search. Parquet: a JSON sidecar next to the data; Iceberg: table
+    # properties would carry it (same seam as the rest of TableIO).
+    stats = postings.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("n_postings"),
+    ).first()
+    payload = {
+        "n_docs": int(stats["n_docs"]),
+        "n_terms": int(stats["n_terms"]),
+        "n_postings": int(stats["n_postings"]),
+        "n_term_buckets": n_term_buckets,
+    }
+    if io.fmt == "parquet":
+        with open(os.path.join(io._path(name), "_index_stats.json"), "w") as f:
+            json.dump(payload, f)
+
+
+def index_stats(io: TableIO, name: str = "postings") -> dict:
+    """Read the write-time stats sidecar (n_docs/n_terms/n_postings)."""
+    with open(os.path.join(io._path(name), "_index_stats.json")) as f:
+        return json.load(f)
 
 
 def tfidf_search(
     postings: DataFrame,
     query_terms: list[str],
+    n_docs: int,
     k: int = 10,
-    n_docs: int | None = None,
 ) -> DataFrame:
     """Scored OR-match retrieval over the posting table -- the analog of the
     reference's ES `match` search (`es_importer.py:53-60` returns ranked
     hits): score(doc) = sum over matched query terms of tf * idf, with the
     BM25-style idf ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    ``n_docs`` is REQUIRED: take it from the ``index_stats`` sidecar
+    ``write_postings`` maintains (or a cached corpus count). A default that
+    ran ``distinct().count()`` here would put a full posting-table pass in
+    every per-query plan -- a 100 TB scan per search at the target scale.
 
     Plan shape: the query-term list broadcasts (tiny), per-term document
     frequencies come from one partial-aggregated pass restricted to the
@@ -103,13 +166,16 @@ def tfidf_search(
     Spark runs it as per-partition top-k + driver merge, no full sort).
     Returns (doc_id, score, n_terms_matched) ranked best-first.
     """
+    if not isinstance(n_docs, int) or n_docs <= 0:
+        raise ValueError(
+            "tfidf_search requires n_docs > 0 (read it from the "
+            "index_stats sidecar written by write_postings)"
+        )
     spark = postings.sparkSession
     # dedupe: a repeated query term would double-count tf in the join
     terms_df = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_terms)], "term string"
     )
-    if n_docs is None:
-        n_docs = postings.select("doc_id").distinct().count()
     dfreq = (
         postings.join(F.broadcast(terms_df), "term")
         .groupBy("term")
@@ -133,6 +199,47 @@ def tfidf_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def fuzzy_terms(
+    postings: DataFrame, probe: str, max_dist: int = 1
+) -> DataFrame:
+    """ES fuzzy-search candidate expansion (`ES_Importer/es_importer.py:62-73`
+    runs fuzziness=1 over the indexed content): distinct index terms within
+    levenshtein ``max_dist`` of ``probe``.
+
+    Plan shape: the distinct-term dictionary aggregates map-side (terms are
+    a tiny fraction of postings), a JVM length prefilter bounds the
+    levenshtein evaluations (|len(term) - len(probe)| <= max_dist -- edit
+    distance can never beat the length gap), and the survivors are a
+    broadcast-size candidate set for the posting join."""
+    return (
+        postings.select("term")
+        .distinct()
+        .filter(F.abs(F.length("term") - F.lit(len(probe))) <= max_dist)
+        .filter(F.levenshtein(F.col("term"), F.lit(probe)) <= max_dist)
+    )
+
+
+def fuzzy_search(
+    postings: DataFrame,
+    probe: str,
+    n_docs: int,
+    k: int = 10,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy retrieval over the posting table: expand ``probe`` to its
+    edit-distance neighborhood in the term dictionary, then score the
+    matched postings with the same tf-idf ranking as ``tfidf_search``.
+    The expansion term set is broadcast; the scored side reads only the
+    matched terms' postings."""
+    cand = [r["term"] for r in fuzzy_terms(postings, probe, max_dist).collect()]
+    if not cand:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms_matched long"
+        )
+    return tfidf_search(postings, cand, n_docs=n_docs, k=k)
 
 
 def term_lookup(
