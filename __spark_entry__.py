@@ -764,11 +764,13 @@ def kg_toc(spark, sf_dir):
 
 
 def graph_multi_hop(spark, sf_dir):
+    """J8: bounded BFS traversal over the deterministic hierarchy fixture —
+    oracle-verified against a DuckDB WITH RECURSIVE twin (min-hop per
+    reachable node). Traversal over the full doc-built triple table stays
+    covered by tests/test_graph.py."""
     from textchunking_and_knowledgegraph_spark.operators.graph import multi_hop
-    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
 
-    triples = build_triples(spark, _docs_source(spark, sf_dir))
-    return multi_hop(triples, "docs/0.txt", max_hops=2)
+    return multi_hop(_dict_edges(spark), "集合与函数", max_hops=3)
 
 
 def mm_features(spark, sf_dir):
@@ -858,6 +860,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered, exactly 50 CORRECTNESS rows) -- fail LOUDLY instead
     assert len(out) <= 50, f"{len(out)} queries registered; driver records only 50"
     return out
+
+
+def _graph_fixture_sql() -> tuple[str, str, str]:
+    """(edges_cte, probe_a, probe_b) for the graph-read oracles.
+
+    The deterministic dictionary fixture's lineage paths are inlined as a
+    VALUES CTE and the 下位 edge set is DERIVED in SQL (consecutive-cell
+    pairs — the same G2 semantics hierarchy_triples implements), so the
+    DuckDB side computes neighbors / BFS / LCA independently rather than
+    replaying a golden row list. Probes match the Spark entries exactly
+    (first two level-2 数学实体 entities)."""
+    from textchunking_and_knowledgegraph_spark.sources.synthetic import (
+        synthesize_entity_dictionary,
+    )
+
+    ents, _ = synthesize_entity_dictionary(seed=42)
+    multi = [e for e in ents if len(e["path"]) >= 2]
+    # the edge CTE hardcodes the 数学实体 domain — fail loudly if the
+    # fixture ever grows multi-cell paths in another domain
+    assert multi and all(e["domain"] == "数学实体" for e in multi)
+    rows = ",\n                  ".join(
+        "([" + ", ".join("'" + p.replace("'", "''") + "'" for p in e["path"]) + "])"
+        for e in multi
+    )
+    edges_cte = f"""
+            WITH RECURSIVE dict_paths(path) AS (VALUES
+                  {rows}),
+            edges AS (
+              SELECT DISTINCT path[i] AS subj, '下位' AS pred, path[i+1] AS obj
+              FROM (SELECT path, unnest(generate_series(1, len(path) - 1)) AS i
+                    FROM dict_paths)
+            )
+"""
+    lvl2 = [e["entity"] for e in ents if e["level"] == 2 and e["domain"] == "数学实体"][:2]
+    return edges_cte, lvl2[0], lvl2[1]
+
+
+_graph_edges_cte, _graph_probe_a, _graph_probe_b = _graph_fixture_sql()
 
 
 # DuckDB CTE producing the posting table (term, doc_id, tf) from the
@@ -1181,5 +1221,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_es_postings": _POSTINGS_SQL + """
             SELECT term, doc_id, tf FROM posts
+        """,
+        # --- graph reads over the deterministic hierarchy fixture: DuckDB
+        # derives the edge set from the inlined lineage paths and computes
+        # each traversal independently (WITH RECURSIVE), so these four
+        # former rows-only entries are now hash-verified ---
+        "dict_hierarchy": _graph_edges_cte + """
+            SELECT subj, pred, obj,
+                   '数学实体' AS subj_type, '数学实体' AS obj_type
+            FROM edges
+        """,
+        "graph_neighbors": _graph_edges_cte + """
+            SELECT obj AS neighbor, pred FROM edges
+            WHERE subj = '函数的概念' AND pred = '下位'
+            ORDER BY neighbor LIMIT 10
+        """,
+        "graph_multi_hop": _graph_edges_cte + """
+            , walk(node, hop) AS (
+              SELECT CAST('集合与函数' AS VARCHAR), CAST(0 AS INTEGER)
+              UNION ALL
+              SELECT e.obj, w.hop + 1 FROM walk w
+              JOIN edges e ON e.subj = w.node
+              WHERE w.hop < 3
+            )
+            SELECT node, MIN(hop) AS hop FROM walk
+            GROUP BY node HAVING MIN(hop) > 0
+        """,
+        # two label-propagation rounds replayed declaratively: per-round
+        # neighbor vote (freq desc, label asc tie-break) + keep-own-label
+        # fallback -- mirrors graph.label_propagation_round exactly
+        "graph_label_prop": _graph_edges_cte + """
+            , nodes AS (
+              -- explicit outer DISTINCT: under a WITH RECURSIVE header
+              -- DuckDB ran a bare UNION between these branches as UNION ALL
+              SELECT DISTINCT node FROM (
+                SELECT subj AS node FROM edges
+                UNION ALL
+                SELECT obj AS node FROM edges
+              )
+            ),
+            sym AS (
+              SELECT subj AS node, obj AS nbr FROM edges
+              UNION ALL
+              SELECT obj AS node, subj AS nbr FROM edges
+            ),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            w1 AS (
+              SELECT s.node, l.label, COUNT(*) AS freq
+              FROM sym s JOIN l0 l ON l.node = s.nbr
+              GROUP BY 1, 2
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY s.node ORDER BY COUNT(*) DESC, l.label ASC) = 1
+            ),
+            l1 AS (
+              SELECT l0.node, COALESCE(w1.label, l0.label) AS label
+              FROM l0 LEFT JOIN w1 USING (node)
+            ),
+            w2 AS (
+              SELECT s.node, l.label, COUNT(*) AS freq
+              FROM sym s JOIN l1 l ON l.node = s.nbr
+              GROUP BY 1, 2
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY s.node ORDER BY COUNT(*) DESC, l.label ASC) = 1
+            )
+            SELECT l1.node, COALESCE(w2.label, l1.label) AS label
+            FROM l1 LEFT JOIN w2 USING (node)
+        """,
+        "graph_lca": _graph_edges_cte + f"""
+            , anc_a(node, depth) AS (
+              SELECT e.subj, CAST(1 AS INTEGER) FROM edges e
+              WHERE e.pred = '下位' AND e.obj = '{_graph_probe_a}'
+              UNION ALL
+              SELECT e.subj, a.depth + 1 FROM anc_a a
+              JOIN edges e ON e.pred = '下位' AND e.obj = a.node
+              WHERE a.depth < 4
+            ),
+            anc_b(node, depth) AS (
+              SELECT e.subj, CAST(1 AS INTEGER) FROM edges e
+              WHERE e.pred = '下位' AND e.obj = '{_graph_probe_b}'
+              UNION ALL
+              SELECT e.subj, b.depth + 1 FROM anc_b b
+              JOIN edges e ON e.pred = '下位' AND e.obj = b.node
+              WHERE b.depth < 4
+            ),
+            ma AS (SELECT node, MIN(depth) AS depth_a FROM anc_a GROUP BY node),
+            mb AS (SELECT node, MIN(depth) AS depth_b FROM anc_b GROUP BY node)
+            SELECT ma.node, depth_a, depth_b FROM ma JOIN mb USING (node)
+            ORDER BY depth_a + depth_b ASC, ma.node ASC LIMIT 1
         """,
     }
