@@ -64,6 +64,89 @@ def test_add_content_idempotent(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _vertex_bucket_files(out_dir):
+    """{v_bucket dir -> sorted part-file names + sizes} snapshot."""
+    vdir = os.path.join(out_dir, "vertices")
+    snap = {}
+    for d in os.listdir(vdir):
+        if d.startswith("v_bucket="):
+            p = os.path.join(vdir, d)
+            snap[d] = sorted(
+                (f, os.path.getsize(os.path.join(p, f)))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    return snap
+
+
+def test_add_content_rewrites_only_affected_vertex_buckets(spark):
+    """The vertex merge must be bucket-incremental like the edge side:
+    buckets the new batch's vertex names don't hash into are not
+    rewritten (round-2 perf-weak: the whole vertex table was rewritten
+    per increment)."""
+    src, _ = corpus_df(spark)
+    # a ONE-document increment: its handful of vertex names hash into a
+    # strict subset of the 16 buckets (a half-corpus batch touches all 16)
+    one = "svc/main_3.go"
+    first, second = src.filter(F.col("path") != one), src.filter(F.col("path") == one)
+    assert second.count() == 1
+    base = tempfile.mkdtemp(prefix="tckg_addc_vb_")
+    out = os.path.join(base, "g")
+    try:
+        materialize_graph(build_triples(spark, first), out, spark=spark)
+        before = _vertex_bucket_files(out)
+        assert len(before) > 1  # bucketed layout on disk
+        add_content(spark, out, second)
+        after = _vertex_bucket_files(out)
+
+        # affected = buckets of the increment's vertex names
+        t2 = build_triples(spark, second)
+        second_v = t2.select(F.col("subj").alias("name")).union(
+            t2.select(F.col("obj").alias("name"))).distinct()
+        affected = {
+            f"v_bucket={r.b}" for r in second_v.select(
+                F.pmod(F.xxhash64("name"), F.lit(16)).cast("int").alias("b")
+            ).distinct().collect()
+        }
+        untouched = set(before) - affected
+        assert untouched, "fixture degenerate: every bucket affected"
+        for d in untouched:
+            assert after[d] == before[d], f"unaffected {d} was rewritten"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crash_window_vertex_recovery(spark):
+    """ADVICE r2 (medium): a crash mid-vertex-write used to let the
+    streaming fallback rebuild vertices/ from ONLY the replayed batch,
+    silently dropping earlier batches' vertices. materialize now derives
+    vertices from the persisted edge table, so replaying one batch with
+    the manifest checkpoint restores the complete vertex set."""
+    src, _ = corpus_df(spark)
+    half = F.pmod(F.xxhash64("path"), F.lit(2))
+    first, second = src.filter(half == 0), src.filter(half == 1)
+    base = tempfile.mkdtemp(prefix="tckg_addc_crash_")
+    out = os.path.join(base, "g")
+    ck = os.path.join(base, "manifest")
+    try:
+        materialize_graph(build_triples(spark, first), out,
+                          checkpoint_dir=ck, spark=spark)
+        add_content(spark, out, second, checkpoint_dir=ck)
+        expected_v = _vertex_set(spark, out)
+        expected_e = _edge_set(spark, out)
+
+        # crash window: vertex table gone/partial, _SUCCESS missing ->
+        # the ingest fallback re-runs materialize with ONLY the replayed
+        # batch against the same manifest checkpoint
+        shutil.rmtree(os.path.join(out, "vertices"))
+        materialize_graph(build_triples(spark, second), out,
+                          checkpoint_dir=ck, spark=spark)
+
+        assert _vertex_set(spark, out) == expected_v
+        assert _edge_set(spark, out) == expected_e
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_add_content_adopts_persisted_bucketing(spark):
     """A graph written with n_buckets=8 updated by an add_content called
     with a mismatched default must still MERGE correctly (bucketing is

@@ -102,12 +102,47 @@ def add_content(
             .parquet(edge_dir)
         )
 
-        # vertex MERGE (anti-join insert) -- existing vertices win
-        existing_v = spark.read.parquet(vdir).localCheckpoint(eager=True)
-        merged_v = merge_vertices(
-            existing_v, build_vertices(new_edges.drop("repo_bucket"))
+        # vertex MERGE (anti-join insert, existing vertices win) --
+        # bucket-incremental, the same pattern as the edge side. The
+        # round-2 implementation rewrote the ENTIRE vertex table per batch
+        # (O(all vertices) per micro-batch: billions of rows re-written per
+        # increment at the target scale); the table is now partitioned by
+        # pmod(xxhash64(name), n_buckets) (written that way by
+        # materialize_graph), so only the buckets the new batch's vertex
+        # names hash into are read, merged, and dynamic-partition-
+        # overwritten. Same-name rows always share a bucket, so the
+        # anti-join inside merge_vertices sees every possible match.
+        new_v = (
+            build_vertices(new_edges.drop("repo_bucket"))
+            .withColumn(
+                "v_bucket", F.pmod(F.xxhash64("name"), F.lit(n_buckets)).cast("int")
+            )
+            .localCheckpoint(eager=True)
         )
-        merged_v.write.mode("overwrite").parquet(vdir)
+        affected_v = sorted(
+            r["v_bucket"] for r in new_v.select("v_bucket").distinct().collect()
+        )
+        existing_v = (
+            spark.read.parquet(vdir)
+            .filter(F.col("v_bucket").isin(affected_v))
+            .localCheckpoint(eager=True)
+        )
+        merged_v = merge_vertices(
+            existing_v.drop("v_bucket"), new_v.drop("v_bucket")
+        ).withColumn(
+            "v_bucket", F.pmod(F.xxhash64("name"), F.lit(n_buckets)).cast("int")
+        )
+        salt_v = F.pmod(F.xxhash64("name", "type"), F.lit(files_per_bucket))
+        (
+            merged_v.repartition(
+                max(1, len(affected_v)) * files_per_bucket, F.col("v_bucket"), salt_v
+            )
+            .sortWithinPartitions("v_bucket", "name")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("v_bucket")
+            .parquet(vdir)
+        )
 
         # recommit manifests for affected buckets (lineage/metrics stay true)
         n_new = 0

@@ -160,12 +160,36 @@ def materialize_graph(
 
         from .pipeline import build_vertices
 
-        vertices = build_vertices(edges.drop("repo_bucket"))
+        # Vertices are derived from the PERSISTED edge table, not from this
+        # run's triples: on a recovery re-run (e.g. the streaming-ingest
+        # fallback replaying one batch after a crash mid-vertex-write) the
+        # triples argument holds ONLY the replayed batch, and building
+        # vertices from it would silently drop every earlier batch's
+        # vertices while edges stay complete. The persisted table is always
+        # the union of all committed buckets, and the scan is column-pruned
+        # to the endpoint/type columns.
+        ss = spark or triples.sparkSession
+        persisted = ss.read.parquet(edge_dir).drop("repo_bucket")
         vdir = os.path.join(output_dir, "vertices")
-        vertices.write.mode("overwrite").parquet(vdir)
-        n_vertices = (
-            (spark or triples.sparkSession).read.parquet(vdir).count()
+        # name-hash bucketed layout (same n_buckets as edges, recorded in
+        # _graph_meta.json): add_content merges vertices per affected
+        # bucket with dynamic partition overwrite instead of rewriting the
+        # whole table per increment. Salted like the edge write so a
+        # bucket is never a single task/file.
+        bucketed_v = build_vertices(persisted).withColumn(
+            "v_bucket", F.pmod(F.xxhash64("name"), F.lit(n_buckets)).cast("int")
         )
+        salt_v = F.pmod(F.xxhash64("name", "type"), F.lit(files_per_bucket))
+        (
+            bucketed_v.repartition(
+                n_buckets * files_per_bucket, F.col("v_bucket"), salt_v
+            )
+            .sortWithinPartitions("v_bucket", "name")
+            .write.mode("overwrite")
+            .partitionBy("v_bucket")
+            .parquet(vdir)
+        )
+        n_vertices = ss.read.parquet(vdir).count()
         if checkpoint_dir:
             _commit(checkpoint_dir, "vertices", {"rows": n_vertices})
         return {"edges": total_rows, "vertices": n_vertices, "skipped_buckets": skipped}
