@@ -43,6 +43,24 @@ def test_minhash_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_collapse_path_output(spark):
+    """>5% exact duplication triggers the distinct-fingerprint signature
+    collapse (signatures computed once per distinct text, joined back);
+    the pair output must be the same full member-level set the direct
+    path emits -- identical texts get identical signatures."""
+    import itertools
+
+    rows = [{"doc_id": i, "text": _BASE} for i in range(1, 8)]  # 7 identical
+    rows.append({"doc_id": 10, "text": _BASE.replace("quick", "swift")})
+    rows.append({"doc_id": 11, "text": "something else entirely about unrelated topics"})
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_near_dups(spark.createDataFrame(rows), threshold=0.6).collect()}
+    for a, b in itertools.combinations(range(1, 8), 2):
+        assert (a, b) in pairs           # member-level pairs preserved
+    assert (1, 10) in pairs and (7, 10) in pairs   # near-dups of every member
+    assert not any(11 in p for p in pairs)
+
+
 def test_simhash_known_values():
     a = _simhash64(_BASE)
     b = _simhash64(_BASE)

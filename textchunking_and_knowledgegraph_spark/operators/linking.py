@@ -81,18 +81,26 @@ def _signature(text: str, a: np.ndarray, b: np.ndarray) -> list[int]:
 
 
 def _batch_signatures(texts: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
-    """Batch-vectorized minhash: identical output to per-doc ``_signature``
-    (asserted in tests), but each distinct gram in the Arrow batch is hashed
-    and permuted ONCE -- with Zipfian/overlapping vocabularies the per-doc
-    cost collapses to a gather + column-min over a shared (U, n_perm) table."""
-    gram_sets = [_char_ngrams(t) for t in texts]
+    """Batch-vectorized minhash over char-2grams: identical output to
+    per-doc ``_signature`` (asserted in tests)."""
+    return _batch_signatures_from_sets([_char_ngrams(t) for t in texts], a, b)
+
+
+def _batch_signatures_from_sets(
+    gram_sets: list[set[str]], a: np.ndarray, b: np.ndarray
+) -> pd.Series:
+    """Batch-vectorized minhash over arbitrary shingle sets: each distinct
+    gram in the Arrow batch is hashed and permuted ONCE -- with
+    Zipfian/overlapping vocabularies the per-doc cost collapses to a gather
+    + column-min over a shared (U, n_perm) table. Shared by the char-ngram
+    linking basis and the word-shingle dedup basis (operators/dedup.py)."""
     vocab: dict[str, int] = {}
     for gs in gram_sets:
         for g in gs:
             if g not in vocab:
                 vocab[g] = len(vocab)
     if not vocab:
-        return pd.Series([[0] * len(a)] * len(texts))
+        return pd.Series([[0] * len(a)] * len(gram_sets))
     base = np.fromiter((_gram_hash(g) for g in vocab), dtype=np.int64, count=len(vocab))
     # (U, n_perm) permuted values, same mod-first math as _signature
     vals = (a[None, :] * (base[:, None] % _P)) % _P
