@@ -9,8 +9,10 @@ bigint sums) or mirrored double expressions rounded identically on both
 sides so value hashes match.
 
 Naming convention: ``qNN_*`` = SQL-verified; ``kg_* / dedup_* / ann_* /
-mm_* / graph_* / link_*`` = non-SQL-expressible pipeline ops (rows-only
-check, by design — they are mapInPandas / LSH / iterative operators).
+link_*`` = non-SQL-expressible pipeline ops (rows-only check, by design —
+they are mapInPandas / LSH / iterative operators). The graph reads and
+``mm_features`` carry full DuckDB oracles despite the prefix (fixture
+lineage inlined as VALUES / ASCII-payload decode replayed in list algebra).
 """
 
 from __future__ import annotations
@@ -775,25 +777,46 @@ def graph_multi_hop(spark, sf_dir):
 
 def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> deterministic fake decode ->
-    typed feature rows (real decode stubbed; Spark-side shape is real).
-    The contract projection serializes the feature vector to a CSV string --
-    array columns crash the driver's pandas-based result canonicalizer
-    (same treatment as graph_random_walk's a->b->c path)."""
+    typed feature rows via the REAL Arrow-batched mapInPandas operator (only
+    the codec inside is the deterministic stub). Payloads are derived from
+    the parquet documents table (ASCII rows only, so bytes == codepoints)
+    which makes the whole decode DuckDB-expressible: the oracle recomputes
+    width/height/n_frames and the 16-bin byte histogram independently and the
+    driver hash-verifies it. Feature dims are emitted as 16 scalar double
+    columns (array columns crash the driver's pandas canonicalizer); the
+    float32->float64 upcast is bit-exact on both sides (numpy astype(float32)
+    vs DuckDB CAST(.. AS FLOAT)), so no string rounding is involved."""
     from textchunking_and_knowledgegraph_spark.operators.multimodal import (
         extract_features,
-        synthetic_media,
     )
 
-    feats = extract_features(synthetic_media(spark, n=64))
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("text").rlike("^[ -~]+$")
+            & (F.length("text") >= 4)
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+            ).alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         "kind",
         "width",
         "height",
         "n_frames",
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_number(x, 6))
-        ).alias("feature_csv"),
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i:02d}")
+            for i in range(16)
+        ],
     )
 
 
@@ -1308,5 +1331,61 @@ def oracle_sql() -> dict[str, str]:
             mb AS (SELECT node, MIN(depth) AS depth_b FROM anc_b GROUP BY node)
             SELECT ma.node, depth_a, depth_b FROM ma JOIN mb USING (node)
             ORDER BY depth_a + depth_b ASC, ma.node ASC LIMIT 1
+        """,
+        # --- multimodal decode verified end-to-end: payload bytes come from
+        # ASCII document text (bytes == codepoints), so DuckDB can replay the
+        # deterministic decoder — first/last-4-byte sums, frame count, and
+        # the 16-bin byte histogram (np.histogram bins=16 range=(0,256) ==
+        # x // 16 for ascii) — entirely in list algebra. The float division
+        # happens in float64 on both sides, is narrowed to float32
+        # identically (numpy astype vs CAST AS FLOAT, both IEEE
+        # round-to-nearest-even), then upcast exactly to double ---
+        "mm_features": """
+            WITH src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     substring(text, 1, 4096) AS t
+              FROM documents
+              WHERE lang = 'en'
+                AND regexp_matches(text, '^[ -~]+$')
+                AND length(text) >= 4
+            ), byt AS (
+              SELECT media_id, kind,
+                     list_transform(range(1, length(t) + 1),
+                                    i -> ascii(substring(t, i, 1))) AS arr
+              FROM src
+            ), agg AS (
+              SELECT media_id, kind, len(arr) AS n,
+                     64 + (list_sum(arr[1:4]) % 512) AS width,
+                     64 + (list_sum(arr[len(arr)-3:len(arr)]) % 512) AS height,
+                     CASE WHEN kind = 'image' THEN 1
+                          ELSE 1 + (len(arr) % 32) END AS n_frames,
+                     list_transform(range(0, 16),
+                       b -> len(list_filter(arr, x -> x // 16 = b))) AS hist
+              FROM byt
+            )
+            SELECT media_id, kind,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(n_frames AS INTEGER) AS n_frames,
+                   CAST(CAST(CAST(hist[1] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f00,
+                   CAST(CAST(CAST(hist[2] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f01,
+                   CAST(CAST(CAST(hist[3] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f02,
+                   CAST(CAST(CAST(hist[4] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f03,
+                   CAST(CAST(CAST(hist[5] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f04,
+                   CAST(CAST(CAST(hist[6] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f05,
+                   CAST(CAST(CAST(hist[7] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f06,
+                   CAST(CAST(CAST(hist[8] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f07,
+                   CAST(CAST(CAST(hist[9] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f08,
+                   CAST(CAST(CAST(hist[10] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f09,
+                   CAST(CAST(CAST(hist[11] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f10,
+                   CAST(CAST(CAST(hist[12] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f11,
+                   CAST(CAST(CAST(hist[13] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f12,
+                   CAST(CAST(CAST(hist[14] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f13,
+                   CAST(CAST(CAST(hist[15] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f14,
+                   CAST(CAST(CAST(hist[16] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f15
+            FROM agg
         """,
     }

@@ -109,6 +109,50 @@ def test_multimodal_features(spark):
     )
 
 
+def test_mm_features_matches_duckdb_oracle(spark):
+    """The mm_features contract entry is hash-verified by the driver; pin
+    the same Spark-vs-DuckDB parity here at sf0.001 so a decoder or oracle
+    drift fails fast in pytest, including bit-exact float32->double dims."""
+    import duckdb
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    got = (
+        entrymod.mm_features(spark, sf_dir)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.sql(entrymod.oracle_sql()["mm_features"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in got.columns:
+        if got[c].dtype == object:
+            assert (got[c].values == want[c].values).all(), c
+        else:
+            # exact equality on purpose: the float32 narrowing is IEEE
+            # round-to-nearest-even on both sides, so bits must agree
+            assert (
+                got[c].values.astype("float64") == want[c].values.astype("float64")
+            ).all(), c
+
+
 def test_multimodal_strict_decoder_raises(spark):
     media = synthetic_media(spark, n=3)
     try:
