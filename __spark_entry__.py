@@ -602,11 +602,15 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_ngram(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs (minhash-LSH blocked candidates,
-    exact shingle-Jaccard verify -- the verify metric is the contract)."""
-    from textchunking_and_knowledgegraph_spark.operators.dedup import ngram_jaccard_pairs
+    """Word-3-gram Jaccard near-dup pairs, EXACT all-pairs baseline —
+    hash-verified against an independent DuckDB replay (the same
+    baseline-vs-scale-path split as ann_topk vs ann_srp_topk: the verify
+    metric is pinned here at oracle scale; minhash/LSH blocking is the
+    corpus-scale path, covered by dedup_minhash + tests). Threshold applied
+    as integer cross-multiply so acceptance is exact rational arithmetic."""
+    from textchunking_and_knowledgegraph_spark.operators.dedup import ngram_jaccard_exact
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return ngram_jaccard_exact(_t(spark, sf_dir, "documents"), threshold_pct=40)
 
 
 def ann_srp_topk(spark, sf_dir):
@@ -1331,6 +1335,40 @@ def oracle_sql() -> dict[str, str]:
             mb AS (SELECT node, MIN(depth) AS depth_b FROM anc_b GROUP BY node)
             SELECT ma.node, depth_a, depth_b FROM ma JOIN mb USING (node)
             ORDER BY depth_a + depth_b ASC, ma.node ASC LIMIT 1
+        """,
+        # --- exact n-gram Jaccard baseline: DuckDB rebuilds the word
+        # 3-shingle sets (lowercase, whitespace split, distinct windows;
+        # <3-word docs collapse to one joined shingle) and replays the
+        # all-pairs comparison; the threshold is an integer cross-multiply
+        # on both sides so no float boundary can flip acceptance ---
+        "dedup_ngram": r"""
+            WITH d AS (
+              SELECT doc_id AS id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS words
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ), s AS (
+              SELECT id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                     ELSE [array_to_string(words, ' ')] END AS sh
+              FROM d
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter_n,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                       AS union_n
+              FROM s a JOIN s b ON a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   CAST(inter_n AS BIGINT) AS inter_n,
+                   CAST(union_n AS BIGINT) AS union_n,
+                   ROUND(CAST(inter_n AS DOUBLE) / union_n, 6) AS jaccard
+            FROM p
+            WHERE inter_n * 100 >= 40 * union_n AND inter_n > 0
         """,
         # --- multimodal decode verified end-to-end: payload bytes come from
         # ASCII document text (bytes == codepoints), so DuckDB can replay the

@@ -43,6 +43,34 @@ def test_minhash_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_exact_matches_python_metric(spark):
+    """The exact all-pairs baseline (JVM array algebra) must agree with the
+    Python `_word_shingles` metric — the same verify function the LSH path
+    applies — pairwise, and the LSH-blocked path must find a subset of it."""
+    from textchunking_and_knowledgegraph_spark.operators.dedup import (
+        _word_shingles,
+        ngram_jaccard_exact,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    rows = {(r.id_a, r.id_b): (r.inter_n, r.union_n, r.jaccard)
+            for r in ngram_jaccard_exact(docs, threshold_pct=40).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    ids = sorted(i for i in texts if texts[i].strip())
+    expected = {}
+    for idx, a in enumerate(ids):
+        for b in ids[idx + 1:]:
+            ga, gb = _word_shingles(texts[a]), _word_shingles(texts[b])
+            inter, uni = len(ga & gb), len(ga | gb)
+            if uni and inter * 100 >= 40 * uni and inter > 0:
+                expected[(a, b)] = (inter, uni, round(inter / uni, 6))
+    assert rows == expected and (1, 2) in rows and (1, 3) in rows
+    lsh = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert lsh <= set(rows)  # LSH blocking never accepts below the exact metric
+    assert (1, 2) in lsh
+
+
 def test_minhash_collapse_path_output(spark):
     """>5% exact duplication triggers the distinct-fingerprint signature
     collapse (signatures computed once per distinct text, joined back);

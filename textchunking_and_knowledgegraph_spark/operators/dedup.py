@@ -367,6 +367,69 @@ def ngram_jaccard_pairs(
     return minhash_near_dups(df, id_col, text_col, threshold=threshold)
 
 
+def _shingle_col(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-shingles as a JVM array column — the column-algebra
+    twin of ``_word_shingles`` (lowercase, whitespace split, k-word windows;
+    <k words collapse to the single joined shingle)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words) >= k, F.array_distinct(shingles)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def ngram_jaccard_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 40,
+) -> DataFrame:
+    """Exact all-pairs word-3-shingle Jaccard — the correctness BASELINE for
+    the LSH-blocked path, same role ``brute_force_topk`` plays for SRP ANN:
+    O(N²) by construction, run at oracle scale (hundreds of docs) to pin the
+    verify metric against an independent SQL replay, never at corpus scale
+    (``ngram_jaccard_pairs``/``minhash_near_dups`` is the scale path).
+
+    Entirely JVM-side: shingle sets as array columns, intersection/union
+    sizes via array_intersect, and the threshold applied as an integer
+    cross-multiply (inter*100 >= pct*union) so acceptance is exact rational
+    arithmetic — no float boundary can disagree with the DuckDB oracle."""
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), _shingle_col(text_col).alias("sh"))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "inter_n", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "union_n",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_n"),
+        )
+        .filter(F.col("inter_n") * 100 >= F.lit(threshold_pct) * F.col("union_n"))
+        .filter(F.col("inter_n") > 0)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter_n",
+        "union_n",
+        F.round(F.col("inter_n").cast("double") / F.col("union_n"), 6).alias(
+            "jaccard"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (sign-LSH blocking at scale, exact verify)
 # ---------------------------------------------------------------------------
