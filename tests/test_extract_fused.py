@@ -35,3 +35,55 @@ def test_fused_span_counts_match_chunk_table(spark):
     n_chunks = chunk_documents(src).count()
     n_spans = doc_facts(src).select(F.explode("spans")).count()
     assert n_spans == n_chunks
+
+
+def test_rust_and_c_extractors_edge_cases():
+    """Pure-Python extractor checks beyond the fixture shapes: generic impl
+    blocks, visibility-scoped items, include variants, and the C function
+    heuristic's keyword gate (control-flow headers must not become defines)."""
+    from textchunking_and_knowledgegraph_spark.operators.extract import (
+        _extract_c,
+        _extract_rust,
+    )
+
+    rs = "\n".join(
+        [
+            "use std::collections::HashMap;",
+            "pub(crate) struct Store<T> {}",
+            "impl<T> Iterator for Store<T> {",
+            "    fn next(&mut self) -> Option<T> { None }",
+            "}",
+            "pub async fn fetch(url: &str) {}",
+        ]
+    )
+    got = {(s, p, o) for s, p, o, _, _ in _extract_rust("a.rs", rs)}
+    assert ("a.rs", "imports", "std::collections::HashMap") in got
+    assert ("a.rs", "defines", "Store") in got
+    assert ("Store", "implements", "Iterator") in got
+    assert ("a.rs", "defines", "fetch") in got
+    assert ("a.rs", "defines", "next") in got  # method fns are still defines
+
+    c = "\n".join(
+        [
+            "#include <stdio.h>",
+            '# include "lib/util.h"',
+            "struct pair { int a; int b; };",
+            "class Codec : public BaseNode {",
+            "};",
+            "static int add_two(int x) {",
+            "    if (x > 0) {",
+            "        while (x--) {}",
+            "    }",
+            "    return x + 2;",
+            "}",
+        ]
+    )
+    got = {(s, p, o) for s, p, o, _, _ in _extract_c("b.cc", c)}
+    assert ("b.cc", "imports", "stdio.h") in got
+    assert ("b.cc", "imports", "lib/util.h") in got
+    assert ("b.cc", "defines", "pair") in got
+    assert ("b.cc", "defines", "Codec") in got
+    assert ("Codec", "inherits", "BaseNode") in got
+    assert ("b.cc", "defines", "add_two") in got
+    defines = {o for s, p, o in got if p == "defines"}
+    assert "if" not in defines and "while" not in defines

@@ -212,12 +212,70 @@ def _extract_go(path: str, content: str) -> Iterator[tuple[str, str, str, str, s
         yield (path, "defines", m.group(1), "file", "class")
 
 
+_RS_USE = re.compile(r"^\s*use\s+([A-Za-z_][\w:]*)", re.M)
+_RS_FN = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r"(?:extern\s+\"[^\"]*\"\s+)?fn\s+(\w+)",
+    re.M,
+)
+_RS_TYPE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+(\w+)", re.M
+)
+_RS_IMPL_FOR = re.compile(
+    r"^\s*impl(?:<[^>]*>)?\s+([\w:]+)(?:<[^>]*>)?\s+for\s+([\w:]+)", re.M
+)
+
+_C_INCLUDE = re.compile(r'^\s*#\s*include\s*[<"]([^>"]+)[>"]', re.M)
+_CPP_CLASS = re.compile(
+    r"\b(?:class|struct)\s+(\w+)\s*"
+    r"(?::\s*(?:public|private|protected|virtual|\s)*([\w:]+))?\s*\{"
+)
+_C_FUNC = re.compile(
+    r"^[A-Za-z_][\w:<>,\*&\s]*?[\s\*]([A-Za-z_]\w*)\s*\([^;{}()]*\)\s*\{", re.M
+)
+
+
+def _extract_rust(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    for m in _RS_USE.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _RS_TYPE.finditer(content):
+        yield (path, "defines", m.group(1), "file", "class")
+    for m in _RS_FN.finditer(content):
+        yield (path, "defines", m.group(1), "file", "function")
+    for m in _RS_IMPL_FOR.finditer(content):
+        trait = m.group(1).split("::")[-1]
+        typ = m.group(2).split("::")[-1]
+        yield (typ, "implements", trait, "class", "class")
+
+
+def _extract_c(path: str, content: str) -> Iterator[tuple[str, str, str, str, str]]:
+    """C / C++ (shared): includes are exact; the function heuristic is a
+    return-type-then-name-then-body shape with a keyword filter -- precise on
+    definition-per-line code, conservative (keyword-gated) elsewhere."""
+    for m in _C_INCLUDE.finditer(content):
+        yield (path, "imports", m.group(1), "file", "module")
+    for m in _CPP_CLASS.finditer(content):
+        yield (path, "defines", m.group(1), "file", "class")
+        if m.group(2):
+            base = m.group(2).split("::")[-1]
+            if base:
+                yield (m.group(1), "inherits", base, "class", "class")
+    for m in _C_FUNC.finditer(content):
+        name = m.group(1)
+        if name not in _KEYWORDS:
+            yield (path, "defines", name, "file", "function")
+
+
 _CODE_EXTRACTORS = {
     "python": _extract_python,
     "javascript": _extract_js,
     "typescript": _extract_js,
     "java": _extract_java,
     "go": _extract_go,
+    "rust": _extract_rust,
+    "c": _extract_c,
+    "cpp": _extract_c,
+    "c++": _extract_c,
 }
 
 # ---------------------------------------------------------------------------

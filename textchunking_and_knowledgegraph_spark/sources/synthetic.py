@@ -9,7 +9,7 @@ Row archetypes (FIXTURES.md):
   1. markdown textbook docs modeled on `/root/reference/test/test.md`
      (CJK prose, #/##/### heading tree, $latex$, <table>, ![](img),
      练习 exercise sections, full-width punctuation)
-  2. code files (python/javascript/java/go) with known
+  2. code files (python/javascript/java/go/rust/c++) with known
      imports/defines/calls/inherits
   3. plain-text prose with closed-vocabulary SVO sentences
   + edge cases: empty content, whitespace-only, giant single line.
@@ -171,6 +171,46 @@ def _go_doc(rng: random.Random, idx: int) -> tuple[str, list[Triple]]:
     return "\n".join(lines), goldens, path
 
 
+def _rust_doc(rng: random.Random, idx: int) -> tuple[str, list[Triple]]:
+    path = f"crates/lib_{idx}.rs"
+    mods = rng.sample(["std::fmt", "std::io", "serde::Serialize", "crate::util"], k=2)
+    typ, trait, fn = f"Engine{idx}", f"Runner{idx % 3}", f"start_{idx}"
+    lines = [
+        f"use {mods[0]};",
+        f"use {mods[1]};",
+        f"pub struct {typ} {{}}",
+        f"pub trait {trait} {{}}",
+        f"impl {trait} for {typ} {{}}",
+        f"pub fn {fn}(n: u32) -> u32 {{ n }}",
+    ]
+    goldens = [
+        (path, "imports", mods[0]), (path, "imports", mods[1]),
+        (path, "defines", typ), (path, "defines", trait),
+        (typ, "implements", trait),
+        (path, "defines", fn),
+    ]
+    return "\n".join(lines), goldens, path
+
+
+def _cpp_doc(rng: random.Random, idx: int) -> tuple[str, list[Triple]]:
+    path = f"native/core_{idx}.cc"
+    hdrs = rng.sample(["vector", "string", "core/api.h", "util.h"], k=2)
+    cls, base, fn = f"Codec{idx}", f"Node{idx % 3}", f"encode_{idx}"
+    lines = [
+        f"#include <{hdrs[0]}>",
+        f'#include "{hdrs[1]}"',
+        f"class {cls} : public {base} {{",
+        "};",
+        f"int {fn}(int x) {{ return x; }}",
+    ]
+    goldens = [
+        (path, "imports", hdrs[0]), (path, "imports", hdrs[1]),
+        (path, "defines", cls), (cls, "inherits", base),
+        (path, "defines", fn),
+    ]
+    return "\n".join(lines), goldens, path
+
+
 def _prose_doc(rng: random.Random, idx: int) -> tuple[str, list[Triple]]:
     sents, goldens = [], []
     for _ in range(rng.randint(3, 8)):
@@ -205,10 +245,10 @@ def synthesize_corpus(
                      "lang": "markdown", "content": content})
         goldens.extend(g)
 
-    code_makers = [_python_doc, _js_doc, _java_doc, _go_doc]
-    code_langs = ["python", "javascript", "java", "go"]
+    code_makers = [_python_doc, _js_doc, _java_doc, _go_doc, _rust_doc, _cpp_doc]
+    code_langs = ["python", "javascript", "java", "go", "rust", "cpp"]
     for i in range(n_code):
-        k = i % 4
+        k = i % len(code_makers)
         content, g, path = code_makers[k](rng, i)
         rows.append({"repo": _repo(), "path": path, "commit": _commit(f"code{i}"),
                      "lang": code_langs[k], "content": content})
