@@ -195,6 +195,39 @@ def test_srp_topk_recall_vs_brute_force(spark):
     assert recall >= 0.7, f"recall {recall:.2f} below documented bound"
 
 
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF sibling of the SRP recall bound: probing 4 of 8 k-means cells on
+    the near-uniform fixture embeddings (LSH/IVF worst case) must recover
+    well over half of the exact top-5, and the probe must compile to a hash
+    equi-join on the cell id — never a per-query corpus scan."""
+    import pytest
+
+    from textchunking_and_knowledgegraph_spark.operators.ann import ivf_topk
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    try:
+        emb = spark.read.parquet(emb_path)
+    except Exception:
+        pytest.skip("driver testdata not present")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    plan_df = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    approx = {}
+    for r in plan_df.collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.6, f"recall {recall:.2f} below documented bound"
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
 def test_scrub_pii_and_counts(spark):
     from textchunking_and_knowledgegraph_spark.functions.textfns import (
         pii_counts,

@@ -115,3 +115,147 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed-bucket search
+# ---------------------------------------------------------------------------
+
+def _dist_exprs(emb: F.Column, centroids: list[list[float]]) -> list[F.Column]:
+    """Squared-L2 distance of an array column to each (driver-side) centroid,
+    as pure higher-order-function expressions — whole-stage codegen, no
+    Python in the loop. The centroid set is the MODEL (n_centroids x dim
+    floats): tiny by construction, shipped as literals like a broadcast."""
+    out = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        out.append(
+            F.aggregate(
+                F.zip_with(emb, arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return out
+
+
+def _with_ivf_bucket(
+    df: DataFrame, emb_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    dists = F.array(*_dist_exprs(F.col(emb_col), centroids))
+    return df.withColumn(
+        "bucket", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over the corpus, Spark-native: assignment is a JVM
+    projection (argmin over literal centroids), the update is ONE
+    posexplode + groupBy((bucket, pos)) mean — a map-side-combinable agg,
+    shuffle volume O(n_centroids * dim), independent of corpus size.
+
+    Init is deterministic: the n_centroids rows with the smallest
+    xxhash64(id, seed) — a reproducible uniform sample needing no
+    Date/random state. Updated centroid dims are rounded to 6 dp so the
+    model is stable across partial-aggregation orders (float mean is
+    reduction-order-sensitive in the last bits); an empty cluster keeps its
+    previous centroid. The returned model is what a write-time IVF layout
+    would persist next to the table (the index analog of postings'
+    _index_stats.json sidecar)."""
+    seeds = (
+        corpus.select(
+            F.col(emb_col).alias("e"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(v) for v in r.e] for r in seeds]
+    for _ in range(n_iters):
+        assigned = _with_ivf_bucket(corpus, emb_col, centroids)
+        rows = (
+            assigned.select("bucket", F.posexplode(F.col(emb_col)).alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        new = {r.bucket: [float(p.m) for p in r.pm] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-bucketed ANN: exact cosine within the ``n_probe`` nearest
+    coarse-quantizer cells only — the k-means sibling of ``srp_topk``
+    (data-adaptive cells vs data-oblivious hyperplanes; IVF wins when the
+    corpus is clustered, SRP when it is near-uniform).
+
+    Scale shape mirrors srp_topk exactly: the corpus is bucketed ONCE by a
+    JVM argmin projection (at real scale: persisted bucketed layout, fit on
+    a sample); each query row explodes into its n_probe nearest cell ids and
+    candidates are pruned BY an equi-join on the cell id — hash join, never
+    a per-query corpus scan. Pass ``centroids`` to reuse a fitted model."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            corpus, emb_col, id_col, n_centroids, n_iters, seed
+        )
+    c = _with_ivf_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")),
+        "c_emb",
+        centroids,
+    ).withColumnRenamed("bucket", "c_bucket")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    qd = _dist_exprs(F.col("q_emb"), centroids)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(i).cast("int").alias("i"))
+                for i, d in enumerate(qd)
+            ]
+        )
+    )
+    probes = q.withColumn(
+        "probe_bucket",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("i"))
+        ),
+    )
+    joined = c.join(
+        F.broadcast(probes), F.col("c_bucket") == F.col("probe_bucket")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
