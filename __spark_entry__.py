@@ -670,8 +670,10 @@ def graph_lca(spark, sf_dir):
 
 def graph_random_walk(spark, sf_dir):
     """Seeded deterministic random-walk sampling over the hierarchy graph
-    (`StoreToNeo4j/Neo4j_functions.py:169-178`). Rows-only; exact paths are
-    pinned by tests/test_graph.py determinism tests."""
+    (`StoreToNeo4j/Neo4j_functions.py:169-178`). Hash-verified: the draw is
+    an md5 digest both engines compute identically, so the DuckDB oracle
+    replays every step of the walk (see _walk_oracle_sql); determinism
+    across partitionings is additionally pinned by tests/test_graph.py."""
     from textchunking_and_knowledgegraph_spark.operators.graph import random_walk
 
     edges = _dict_edges(spark)
@@ -925,6 +927,45 @@ def _graph_fixture_sql() -> tuple[str, str, str]:
 
 
 _graph_edges_cte, _graph_probe_a, _graph_probe_b = _graph_fixture_sql()
+
+
+def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str:
+    """DuckDB replay of operators/graph.py ``random_walk`` over the fixture
+    edges: the draw is argmin of the md5 hex digest of
+    ``seed|walk_id|step|candidate`` (string order == digest order on both
+    engines), advanced one CTE per lockstep step. A stochastic-sampling
+    operator hash-verified end-to-end because its randomness is a seeded
+    hash, not RNG state."""
+    walk_nos = ", ".join(f"'{i}'" for i in range(n_walks))
+    sql = f"""
+            , seeds AS (SELECT DISTINCT subj AS seed_node FROM edges),
+            s0 AS (
+              SELECT seed_node || '#' || n AS walk_id, seed_node,
+                     seed_node AS cur, seed_node AS path
+              FROM seeds CROSS JOIN (SELECT unnest([{walk_nos}]) AS n) t
+            )"""
+    for step in range(1, walk_len + 1):
+        sql += f"""
+            , s{step} AS (
+              SELECT walk_id, seed_node,
+                     COALESCE(obj, cur) AS cur,
+                     CASE WHEN obj IS NULL THEN path
+                          ELSE path || '->' || obj END AS path
+              FROM (
+                SELECT w.walk_id, w.seed_node, w.cur, w.path, e.obj,
+                       ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                         ORDER BY md5(concat_ws('|', '{seed}', w.walk_id,
+                                                '{step}', e.obj)) ASC NULLS LAST,
+                                  e.obj ASC NULLS LAST) AS rn
+                FROM s{step - 1} w LEFT JOIN edges e ON e.subj = w.cur
+              ) q WHERE rn = 1
+            )"""
+    sql += f"""
+            SELECT walk_id, seed_node, path AS walk,
+                   CAST(len(string_split(path, '->')) - 1 AS INTEGER) AS steps
+            FROM s{walk_len}
+    """
+    return sql
 
 
 # DuckDB CTE producing the posting table (term, doc_id, tf) from the
@@ -1336,6 +1377,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ma.node, depth_a, depth_b FROM ma JOIN mb USING (node)
             ORDER BY depth_a + depth_b ASC, ma.node ASC LIMIT 1
         """,
+        # --- seeded random walk replayed step-by-step (md5-digest draws,
+        # one CTE per lockstep step) over the same derived edge set ---
+        "graph_random_walk": _graph_edges_cte + _walk_oracle_sql(
+            walk_len=3, n_walks=2, seed=42
+        ),
         # --- exact n-gram Jaccard baseline: DuckDB rebuilds the word
         # 3-shingle sets (lowercase, whitespace split, distinct windows;
         # <3-word docs collapse to one joined shingle) and replays the

@@ -119,9 +119,12 @@ def random_walk(
     Distributed + deterministic: all walks advance in lockstep -- each step
     is ONE equi hash-join of the walk frontier against the edge table, and
     the per-walk "random" neighbor choice is argmin of
-    ``xxhash64(seed, walk_id, step, candidate)`` -- a seeded hash draw,
+    ``md5(seed|walk_id|step|candidate)`` -- a seeded hash draw,
     reproducible across runs and partitionings with no RNG state to
-    coordinate. Walks that reach a node with no outgoing edge simply stop
+    coordinate. md5 rather than xxhash64 on purpose: DuckDB computes the
+    identical hex digest, so the ENTIRE stochastic walk is replayable in
+    the driver's SQL oracle (ordering by digest string == ordering by the
+    draw). Walks that reach a node with no outgoing edge simply stop
     (the reference's walk ends when Neo4j returns no relationship).
 
     ``seeds``: one column of start nodes. Output: one row per walk --
@@ -150,8 +153,15 @@ def random_walk(
     for step in range(1, walk_len + 1):
         cand = walks.join(e, walks.cur == e._src, "left")
         w = Window.partitionBy("walk_id").orderBy(
-            F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step), F.col("_dst"))
-            .asc_nulls_last(),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.col("walk_id"),
+                    F.lit(str(step)),
+                    F.col("_dst"),
+                )
+            ).asc_nulls_last(),
             F.col("_dst").asc_nulls_last(),
         )
         walks = (
