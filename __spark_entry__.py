@@ -754,20 +754,23 @@ def textbook_question_table(spark, sf_dir):
     return textbook_questions(build_chunks(spark, src))
 
 
+_TOC_BOOK = (
+    "前言\n目录\n"
+    "# 第一章 集合\n1.1 集合的概念\n1.2 集合的运算\n"
+    "# 第二章 函数\n2.1 函数的概念\n2.2 函数的单调性\n"
+    "# 第十一章 概率\n11.1 古典概型\n"
+    "# 第一章 集合\n" + "正文从这里开始。\n" * 40
+)
+
+
 def kg_toc(spark, sf_dir):
     """T10/T11: TOC extraction with Chinese-numeral chapter parsing
     (`PDF_to_MD/LLM_correction.py:267-322`) over a deterministic book
-    fixture; exact structure pinned by tests/test_toc.py."""
+    fixture; exact structure pinned by tests/test_toc.py and hash-verified
+    against a DuckDB window-function replay of the sequential walk."""
     from textchunking_and_knowledgegraph_spark.operators.toc import extract_toc
 
-    book = (
-        "前言\n目录\n"
-        "# 第一章 集合\n1.1 集合的概念\n1.2 集合的运算\n"
-        "# 第二章 函数\n2.1 函数的概念\n2.2 函数的单调性\n"
-        "# 第十一章 概率\n11.1 古典概型\n"
-        "# 第一章 集合\n" + "正文从这里开始。\n" * 40
-    )
-    df = spark.createDataFrame([("b1", book)], "doc_id string, content string")
+    df = spark.createDataFrame([("b1", _TOC_BOOK)], "doc_id string, content string")
     return extract_toc(df)
 
 
@@ -927,6 +930,167 @@ def _graph_fixture_sql() -> tuple[str, str, str]:
 
 
 _graph_edges_cte, _graph_probe_a, _graph_probe_b = _graph_fixture_sql()
+
+
+def _linking_fixture_sql() -> str:
+    """Mention/entity VALUES CTEs for the link_entities_lsh oracle.
+
+    The oracle re-derives the link table INDEPENDENTLY: exact all-pairs
+    char-2gram Jaccard (the re-rank metric of operators/linking.py) with
+    the same min_score=0.30 gate and (score desc, entity asc) top-1 —
+    no LSH. Hash equality therefore PROVES the banded-minhash blocking
+    loses no top-1 link on the fixture (the same exact-vs-blocked pinning
+    q21/ann_srp and dedup_ngram/dedup_minhash use, here collapsed into
+    one entry because the fixture is small enough for the exact join)."""
+    from textchunking_and_knowledgegraph_spark.sources.synthetic import (
+        synthesize_entity_dictionary,
+    )
+
+    ents, aliases = synthesize_entity_dictionary(seed=42)
+
+    def _vals(strs) -> str:
+        return ",\n                  ".join(
+            "('" + s.replace("'", "''") + "')" for s in sorted(set(strs))
+        )
+
+    return f"""
+            WITH mention_rows(mention) AS (VALUES
+                  {_vals(a["alias"] for a in aliases)}),
+            entity_rows(entity) AS (VALUES
+                  {_vals(e["entity"] for e in ents)}),
+            mg AS (
+              SELECT mention,
+                     CASE WHEN length(t) < 2 THEN [t]
+                          ELSE list_distinct(list_transform(
+                            range(1, length(t)),
+                            i -> substring(t, CAST(i AS INT), 2))) END AS g
+              FROM (SELECT mention, lower(trim(mention)) AS t
+                    FROM mention_rows WHERE length(trim(mention)) > 0)
+            ),
+            eg AS (
+              SELECT entity,
+                     CASE WHEN length(t) < 2 THEN [t]
+                          ELSE list_distinct(list_transform(
+                            range(1, length(t)),
+                            i -> substring(t, CAST(i AS INT), 2))) END AS g
+              FROM (SELECT entity, lower(trim(entity)) AS t
+                    FROM entity_rows WHERE length(trim(entity)) > 0)
+            ),
+            scored AS (
+              SELECT mention, entity,
+                     len(list_intersect(mg.g, eg.g))
+                       / CAST(len(list_distinct(list_concat(mg.g, eg.g)))
+                              AS DOUBLE) AS score
+              FROM mg CROSS JOIN eg
+            )
+"""
+
+
+_linking_cte = _linking_fixture_sql()
+
+
+def _toc_oracle_sql() -> str:
+    """DuckDB replay of operators/toc.py ``extract_toc`` over the inlined
+    fixture book: the stateful sequential walk becomes window algebra.
+
+    Equivalence argument (pre-break, per doc): the walk's ``last_no`` (max
+    emitted chapter number) equals the running max over ALL prior
+    chapter-matched lines, because a chapter line either beats the max (and
+    is emitted, updating both), equals it (skipped, max unchanged), or is
+    below it (the walk BREAKS, so no later line matters). Hence:
+      emitted chapter   = chapter line with cno > max_prev
+      'current is set'  = max_prev > 0 (every emitted number is > 0;
+                          unparseable numerals yield 0 and never emit)
+      break line        = chapter line with cno < max_prev, OR a
+                          '#'-prefixed non-chapter line after a chapter
+    and the kept region is everything before the doc's first break line."""
+    book = _TOC_BOOK.replace("'", "''")
+    return f"""
+            WITH doc(doc_id, content) AS (VALUES ('b1', '{book}')),
+            sliced AS (
+              SELECT doc_id,
+                     substring(content, 1,
+                       CAST(floor(greatest(length(content) / 20.0, 2000))
+                            AS INT)) AS head
+              FROM doc
+            ),
+            lines0 AS (
+              SELECT doc_id, i, trim(ls[i]) AS line
+              FROM (SELECT doc_id, ls,
+                           unnest(generate_series(1, len(ls))) AS i
+                    FROM (SELECT doc_id, string_split(head, chr(10)) AS ls
+                          FROM sliced WHERE contains(head, '目录')))
+            ),
+            toc_at AS (
+              SELECT doc_id, MIN(i) AS ti FROM lines0
+              WHERE contains(line, '目录') GROUP BY doc_id
+            ),
+            cand AS (
+              SELECT l.doc_id, l.i, l.line,
+                     regexp_matches(l.line, '#\\s*第(.*?)(章|单元)') AS is_chap,
+                     trim(translate(
+                       regexp_extract(l.line, '#\\s*第(.*?)(章|单元)', 1),
+                       '零一二三四五六七八九０１２３４５６７８９',
+                       '01234567890123456789')) AS numt
+              FROM lines0 l JOIN toc_at t USING (doc_id)
+              WHERE l.i > t.ti AND l.line <> ''
+            ),
+            numbered AS (
+              SELECT doc_id, i, line, is_chap,
+                     CASE WHEN NOT is_chap THEN NULL
+                          WHEN regexp_matches(numt, '^[0-9]+$')
+                            THEN CAST(numt AS INT)
+                          WHEN regexp_matches(numt, '^[0-9]?十[0-9]?$')
+                            THEN COALESCE(TRY_CAST(
+                                   regexp_extract(numt, '^([0-9]?)十', 1)
+                                   AS INT), 1) * 10
+                               + COALESCE(TRY_CAST(
+                                   regexp_extract(numt, '十([0-9]?)$', 1)
+                                   AS INT), 0)
+                          ELSE 0 END AS cno
+              FROM cand
+            ),
+            walked AS (
+              SELECT *,
+                     COALESCE(MAX(cno) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS max_prev
+              FROM numbered
+            ),
+            cut AS (
+              SELECT doc_id, MIN(i) AS brk FROM walked
+              WHERE (is_chap AND cno < max_prev)
+                 OR (NOT is_chap AND starts_with(line, '#') AND max_prev > 0)
+              GROUP BY doc_id
+            ),
+            kept AS (
+              SELECT w.* FROM walked w LEFT JOIN cut c USING (doc_id)
+              WHERE c.brk IS NULL OR w.i < c.brk
+            ),
+            emitted AS (
+              SELECT *,
+                     (is_chap AND cno > max_prev) AS is_chap_row,
+                     (NOT is_chap AND max_prev > 0) AS is_sec_row
+              FROM kept
+            ),
+            rows_out AS (
+              SELECT doc_id, i, is_chap_row, line,
+                     MAX(CASE WHEN is_chap_row THEN i END) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS chap_i
+              FROM emitted
+              WHERE is_chap_row OR is_sec_row
+            )
+            SELECT r.doc_id,
+                   CAST(ch.cno AS INTEGER) AS chapter_no,
+                   ch.line AS chapter_title,
+                   CASE WHEN r.is_chap_row THEN NULL ELSE r.line END AS section,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY r.doc_id ORDER BY r.i) AS INTEGER) AS ord
+            FROM rows_out r
+            JOIN emitted ch ON ch.doc_id = r.doc_id AND ch.i = r.chap_i
+    """
 
 
 def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str:
@@ -1472,4 +1636,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(CAST(hist[16] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f15
             FROM agg
         """,
+        # --- entity linking verified against an exact all-pairs replay:
+        # DuckDB computes the char-2gram Jaccard top-1 per mention over the
+        # FULL mention x entity cross product (no LSH), so a hash match
+        # proves the banded-minhash candidate blocking dropped no top-1
+        # link above min_score on the fixture ---
+        "link_entities_lsh": _linking_cte + """
+            SELECT mention, entity, score FROM scored
+            WHERE score >= 0.30
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY mention ORDER BY score DESC, entity ASC) = 1
+        """,
+        # --- TOC extraction verified against a window-algebra replay of the
+        # sequential walk (equivalence argument in _toc_oracle_sql) ---
+        "kg_toc": _toc_oracle_sql(),
     }
