@@ -147,6 +147,37 @@ def test_crash_window_vertex_recovery(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_add_content_migrates_legacy_vertex_layout(spark):
+    """A graph whose vertices/ predates the bucketed layout (flat parquet,
+    no v_bucket column) must still take increments: the first add_content
+    performs a one-time full migration to the bucketed layout instead of
+    crashing on the missing column, and the merged result equals one-shot."""
+    src, _ = corpus_df(spark)
+    half = F.pmod(F.xxhash64("path"), F.lit(2))
+    first, second = src.filter(half == 0), src.filter(half == 1)
+    base = tempfile.mkdtemp(prefix="tckg_addc_legacy_")
+    out = os.path.join(base, "g")
+    full_out = os.path.join(base, "full")
+    vdir = os.path.join(out, "vertices")
+    try:
+        materialize_graph(build_triples(spark, first), out, spark=spark)
+        # rewrite vertices/ the way the pre-bucketed version did: flat, no
+        # v_bucket partition column
+        legacy = spark.read.parquet(vdir).drop("v_bucket").localCheckpoint(True)
+        shutil.rmtree(vdir)
+        legacy.write.parquet(vdir)
+        assert "v_bucket" not in spark.read.parquet(vdir).columns
+
+        add_content(spark, out, second)
+        materialize_graph(build_triples(spark, src), full_out, spark=spark)
+        assert _vertex_set(spark, out) == _vertex_set(spark, full_out)
+        # migrated on the way through: bucketed layout from now on
+        assert "v_bucket" in spark.read.parquet(vdir).columns
+        assert any(d.startswith("v_bucket=") for d in os.listdir(vdir))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_add_content_adopts_persisted_bucketing(spark):
     """A graph written with n_buckets=8 updated by an add_content called
     with a mismatched default must still MERGE correctly (bucketing is

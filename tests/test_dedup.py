@@ -71,6 +71,33 @@ def test_ngram_jaccard_exact_matches_python_metric(spark):
     assert (1, 2) in lsh
 
 
+def test_shingle_tokenizer_whitespace_parity(spark):
+    """The Python `_word_shingles` verify metric and the JVM `_shingle_col`
+    baseline must tokenize identically on non-ASCII whitespace: Python's
+    str.split() is unicode-aware while Java/RE2 `\\s+` is ASCII-only, so a
+    U+3000 full-width space (routine in CJK corpora) must stay INSIDE tokens
+    on BOTH paths — otherwise a pair can pass the LSH verify but miss the
+    exact baseline, breaking the lsh-subset-of-exact invariant."""
+    from pyspark.sql import functions as F
+
+    from textchunking_and_knowledgegraph_spark.operators.dedup import (
+        _shingle_col,
+        _word_shingles,
+    )
+
+    texts = [
+        "甲　乙　丙　丁 alpha beta gamma",   # U+3000 separators
+        "a\tb\nc d  e",                                   # ASCII ws variety
+        "x y z w",                                   # NBSP inside token
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [set(r.sh) for r in df.select(_shingle_col("text").alias("sh")).collect()]
+    py = [_word_shingles(t) for t in texts]
+    assert jvm == py
+    # and the U+3000 run is one token on both sides
+    assert any("　" in s for s in py[0])
+
+
 def test_minhash_collapse_path_output(spark):
     """>5% exact duplication triggers the distinct-fingerprint signature
     collapse (signatures computed once per distinct text, joined back);

@@ -87,3 +87,39 @@ def test_rust_and_c_extractors_edge_cases():
     assert ("b.cc", "defines", "add_two") in got
     defines = {o for s, p, o in got if p == "defines"}
     assert "if" not in defines and "while" not in defines
+
+
+def test_cpp_rust_extractor_common_shapes():
+    """Shapes the first-cut regexes silently dropped: C++ multiple
+    inheritance / `final` / templated bases, and Rust `const fn` — each must
+    still emit its defines (and first-base inherits) triple."""
+    from textchunking_and_knowledgegraph_spark.operators.extract import (
+        _extract_c,
+        _extract_rust,
+    )
+
+    c = "\n".join(
+        [
+            "class Multi : public B, public C {",
+            "};",
+            "struct Fin final : E {",
+            "};",
+            "class Tmpl : public Base<int, char>, private Mix {",
+            "};",
+            "class Fwd;",  # forward declaration: no body, no defines triple
+            "class V : virtual public VB {",
+            "};",
+        ]
+    )
+    got = {(s, p, o) for s, p, o, _, _ in _extract_c("m.cc", c)}
+    assert ("m.cc", "defines", "Multi") in got
+    assert ("Multi", "inherits", "B") in got
+    assert ("Fin", "inherits", "E") in got
+    assert ("Tmpl", "inherits", "Base") in got
+    assert ("V", "inherits", "VB") in got
+    assert ("m.cc", "defines", "Fwd") not in got
+
+    rs = "pub const fn f(x: u32) -> u32 { x }\nconst fn g() -> i32 { 0 }"
+    got_rs = {(s, p, o) for s, p, o, _, _ in _extract_rust("c.rs", rs)}
+    assert ("c.rs", "defines", "f") in got_rs
+    assert ("c.rs", "defines", "g") in got_rs

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -54,8 +55,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # minhash LSH near-dup (word shingles)
 # ---------------------------------------------------------------------------
 
+# ASCII whitespace ONLY, mirroring Java's default `\s` ([ \t\n\x0B\f\r]):
+# the JVM `_shingle_col` baseline and the DuckDB dedup_ngram oracle both
+# split on `\s+`, which is ASCII-only in those engines, while Python's
+# str.split() is unicode-aware -- a U+3000 full-width space (common in the
+# CJK corpora this repo models) would tokenize on the Python side only,
+# breaking the pinned "LSH pairs are a subset of the exact baseline"
+# invariant. Non-ASCII whitespace therefore stays INSIDE tokens on every
+# path (a deliberate, consistent choice: CJK text does not space-tokenize).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _word_shingles(text: str, k: int = 3) -> set[str]:
-    words = (text or "").lower().split()
+    words = [w for w in _ASCII_WS.split((text or "").lower()) if w]
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}

@@ -214,7 +214,7 @@ def _extract_go(path: str, content: str) -> Iterator[tuple[str, str, str, str, s
 
 _RS_USE = re.compile(r"^\s*use\s+([A-Za-z_][\w:]*)", re.M)
 _RS_FN = re.compile(
-    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
     r"(?:extern\s+\"[^\"]*\"\s+)?fn\s+(\w+)",
     re.M,
 )
@@ -227,8 +227,12 @@ _RS_IMPL_FOR = re.compile(
 
 _C_INCLUDE = re.compile(r'^\s*#\s*include\s*[<"]([^>"]+)[>"]', re.M)
 _CPP_CLASS = re.compile(
-    r"\b(?:class|struct)\s+(\w+)\s*"
-    r"(?::\s*(?:public|private|protected|virtual|\s)*([\w:]+))?\s*\{"
+    # name, optional `final`, optional base list (first base captured; the
+    # remaining `, public C...` bases are consumed by [^{;]* -- `;` excluded
+    # so a forward declaration never bridges into the next statement's `{`)
+    r"\b(?:class|struct)\s+(\w+)\s*(?:final\s*)?"
+    r"(?::\s*(?:(?:public|private|protected|virtual)\s+)*([\w:]+)"
+    r"(?:<[^>{}]*>)?[^{;]*)?\{"
 )
 _C_FUNC = re.compile(
     r"^[A-Za-z_][\w:<>,\*&\s]*?[\s\*]([A-Za-z_]\w*)\s*\([^;{}()]*\)\s*\{", re.M

@@ -120,9 +120,13 @@ def write_postings(
     # every tfidf_search idf computation -- computing it per query would be
     # a full distinct-count pass over the posting table (a 100 TB scan in
     # the per-query plan). One aggregation at WRITE time, amortized over
-    # every search. Parquet: a JSON sidecar next to the data; Iceberg: table
-    # properties would carry it (same seam as the rest of TableIO).
-    stats = postings.agg(
+    # every search. Aggregate over the JUST-WRITTEN table, not the input
+    # DataFrame: `postings` is usually an uncached lineage ending in the
+    # tokenize/explode/groupBy pipeline, and re-executing it here would
+    # re-scan + re-tokenize the whole corpus a second time; the read-back
+    # costs one column-pruned pass over the compact written index instead.
+    spark = postings.sparkSession
+    stats = io.read(spark, name).agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("term").alias("n_terms"),
         F.count("*").alias("n_postings"),
@@ -133,13 +137,34 @@ def write_postings(
         "n_postings": int(stats["n_postings"]),
         "n_term_buckets": n_term_buckets,
     }
-    if io.fmt == "parquet":
+    if io.fmt == "iceberg":
+        # iceberg has no directory to drop a file into -- carry the stats as
+        # table properties (the canonical iceberg metadata channel)
+        props = ", ".join(
+            f"'index_stats.{k_}' = '{v}'" for k_, v in payload.items()
+        )
+        spark.sql(f"ALTER TABLE {io._path(name)} SET TBLPROPERTIES ({props})")
+    else:
         with open(os.path.join(io._path(name), "_index_stats.json"), "w") as f:
             json.dump(payload, f)
 
 
-def index_stats(io: TableIO, name: str = "postings") -> dict:
-    """Read the write-time stats sidecar (n_docs/n_terms/n_postings)."""
+def index_stats(
+    io: TableIO, name: str = "postings", spark: SparkSession | None = None
+) -> dict:
+    """Read the write-time stats (n_docs/n_terms/n_postings): the JSON
+    sidecar for parquet, table properties for iceberg (``spark`` required
+    there)."""
+    if io.fmt == "iceberg":
+        if spark is None:
+            raise ValueError("index_stats on an iceberg table needs spark")
+        rows = spark.sql(f"SHOW TBLPROPERTIES {io._path(name)}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        return {
+            k_.removeprefix("index_stats."): int(v)
+            for k_, v in props.items()
+            if k_.startswith("index_stats.")
+        }
     with open(os.path.join(io._path(name), "_index_stats.json")) as f:
         return json.load(f)
 
@@ -147,6 +172,7 @@ def index_stats(io: TableIO, name: str = "postings") -> dict:
 def tfidf_search(
     postings: DataFrame,
     query_terms: list[str],
+    *,
     n_docs: int,
     k: int = 10,
 ) -> DataFrame:
@@ -155,10 +181,12 @@ def tfidf_search(
     hits): score(doc) = sum over matched query terms of tf * idf, with the
     BM25-style idf ln(1 + (N - df + 0.5) / (df + 0.5)).
 
-    ``n_docs`` is REQUIRED: take it from the ``index_stats`` sidecar
-    ``write_postings`` maintains (or a cached corpus count). A default that
-    ran ``distinct().count()`` here would put a full posting-table pass in
-    every per-query plan -- a 100 TB scan per search at the target scale.
+    ``n_docs`` is REQUIRED and keyword-only (so a legacy positional ``k``
+    can never silently bind to it): take it from the ``index_stats``
+    sidecar ``write_postings`` maintains (or a cached corpus count). A
+    default that ran ``distinct().count()`` here would put a full
+    posting-table pass in every per-query plan -- a 100 TB scan per search
+    at the target scale.
 
     Plan shape: the query-term list broadcasts (tiny), per-term document
     frequencies come from one partial-aggregated pass restricted to the
@@ -224,6 +252,7 @@ def fuzzy_terms(
 def fuzzy_search(
     postings: DataFrame,
     probe: str,
+    *,
     n_docs: int,
     k: int = 10,
     max_dist: int = 1,

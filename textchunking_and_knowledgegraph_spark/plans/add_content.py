@@ -122,27 +122,39 @@ def add_content(
         affected_v = sorted(
             r["v_bucket"] for r in new_v.select("v_bucket").distinct().collect()
         )
-        existing_v = (
-            spark.read.parquet(vdir)
-            .filter(F.col("v_bucket").isin(affected_v))
-            .localCheckpoint(eager=True)
-        )
+        vertices_raw = spark.read.parquet(vdir)
+        legacy_vertices = "v_bucket" not in vertices_raw.columns
+        if legacy_vertices:
+            # graph materialized before the bucketed vertex layout existed:
+            # one-time full migration -- merge over the WHOLE legacy table
+            # and rewrite it bucketed (plain overwrite clears the old
+            # root-level files a dynamic overwrite would leave behind);
+            # every subsequent increment is bucket-incremental.
+            existing_v = vertices_raw.localCheckpoint(eager=True)
+            n_write_buckets = n_buckets
+        else:
+            existing_v = (
+                vertices_raw.filter(F.col("v_bucket").isin(affected_v))
+                .drop("v_bucket")
+                .localCheckpoint(eager=True)
+            )
+            n_write_buckets = max(1, len(affected_v))
         merged_v = merge_vertices(
-            existing_v.drop("v_bucket"), new_v.drop("v_bucket")
+            existing_v, new_v.drop("v_bucket")
         ).withColumn(
             "v_bucket", F.pmod(F.xxhash64("name"), F.lit(n_buckets)).cast("int")
         )
         salt_v = F.pmod(F.xxhash64("name", "type"), F.lit(files_per_bucket))
-        (
+        vwriter = (
             merged_v.repartition(
-                max(1, len(affected_v)) * files_per_bucket, F.col("v_bucket"), salt_v
+                n_write_buckets * files_per_bucket, F.col("v_bucket"), salt_v
             )
             .sortWithinPartitions("v_bucket", "name")
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("v_bucket")
-            .parquet(vdir)
         )
+        if not legacy_vertices:
+            vwriter = vwriter.option("partitionOverwriteMode", "dynamic")
+        vwriter.partitionBy("v_bucket").parquet(vdir)
 
         # recommit manifests for affected buckets (lineage/metrics stay true)
         n_new = 0
