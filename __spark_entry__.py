@@ -596,6 +596,10 @@ def dedup_minhash(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
+    """Banded simhash near-dup pairs — hash-verified end-to-end: the md5
+    word-hash basis lets the DuckDB oracle recompute the identical 64-bit
+    fingerprints from hex nibbles and replay banding, the skew cap, the
+    hamming filter, and the hamming-0 star recovery 1:1."""
     from textchunking_and_knowledgegraph_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
@@ -1579,6 +1583,80 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(inter_n AS DOUBLE) / union_n, 6) AS jaccard
             FROM p
             WHERE inter_n * 100 >= 40 * union_n AND inter_n > 0
+        """,
+        # --- simhash near-dup replay: the fingerprint basis is md5 (first 8
+        # bytes, big-endian), which DuckDB recomputes from hex nibbles —
+        # bit i of word-hash h lives in nibble 16 - i//4 of md5(w) at
+        # in-nibble position i%4 (the same engine-portable-hash trade the
+        # random-walk draw makes). Sign votes are summed with occurrence
+        # multiplicity (grouped per distinct word, weighted by count), the
+        # >0 vote threshold packs the unsigned fingerprint, and the signed
+        # LongType twin is u - 2^63. Banding (4 x 16-bit), the
+        # max_bucket=200 skew cap, the hamming<=8 filter, and the hamming-0
+        # star recovery all replay 1:1 against operators/dedup.py
+        # simhash_near_dups. Duplicated (id_a, id_b) rows across the banded
+        # and star branches always agree on hamming (identical simhash =>
+        # xor 0 on both), so DISTINCT == Spark's dropDuplicates ---
+        "dedup_simhash": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                       w -> w <> '')) AS w
+              FROM documents
+            ), wcount AS (
+              SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+            ), dw AS (
+              SELECT DISTINCT w FROM wcount
+            ), wb AS (
+              SELECT w, b.i AS bit,
+                     CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(w), CAST(16 - (b.i // 4) AS INTEGER), 1))
+                                - 1) >> (b.i % 4)) & 1 = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM dw CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+            ), acc AS (
+              SELECT wc.doc_id, wb.bit, SUM(wb.sgn * wc.c) AS s
+              FROM wcount wc JOIN wb ON wb.w = wc.w
+              GROUP BY wc.doc_id, wb.bit
+            ), fp_u AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0
+                              THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                              ELSE CAST(0 AS HUGEINT) END) AS u
+              FROM acc GROUP BY doc_id
+            ), fp AS (
+              SELECT d.doc_id AS id,
+                     COALESCE(f.u, CAST(0 AS HUGEINT)) AS u,
+                     CAST(COALESCE(f.u, CAST(0 AS HUGEINT))
+                          - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN fp_u f USING (doc_id)
+            ), bands AS (
+              SELECT id, simhash,
+                     b.band_id,
+                     CAST((u >> (b.band_id * 16)) & 65535 AS BIGINT) AS band_val
+              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+            ), kept AS (
+              SELECT id, simhash, band_id, band_val FROM bands
+              QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= 200
+            ), cand AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                              l.simhash AS sh_a, r.simhash AS sh_b
+              FROM kept l
+              JOIN kept r ON l.band_id = r.band_id
+                         AND l.band_val = r.band_val AND l.id < r.id
+            ), banded AS (
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+            ), reps AS (
+              SELECT simhash, MIN(id) AS rep FROM fp GROUP BY simhash
+            ), stars AS (
+              SELECT r.rep AS id_a, f.id AS id_b, CAST(0 AS INTEGER) AS hamming
+              FROM fp f JOIN reps r USING (simhash) WHERE f.id <> r.rep
+            )
+            SELECT DISTINCT id_a, id_b, hamming FROM
+              (SELECT * FROM banded UNION ALL SELECT * FROM stars)
         """,
         # --- multimodal decode verified end-to-end: payload bytes come from
         # ASCII document text (bytes == codepoints), so DuckDB can replay the

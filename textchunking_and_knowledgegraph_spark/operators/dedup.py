@@ -256,18 +256,22 @@ def minhash_near_dups(
 
 @functools.lru_cache(maxsize=1 << 20)
 def _word_signbits(w: str) -> np.ndarray:
-    """+-1 bit vector of a word's 64-bit blake2b hash. Cached: token
-    distributions are Zipfian, so within an executor the hot vocabulary hits
-    the cache and the per-word hashing cost amortizes to ~0."""
-    h = np.uint64(
-        int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-    )
+    """+-1 bit vector of a word's 64-bit hash — the first 8 md5 bytes,
+    big-endian (bit i = bit i of that integer, LSB-first). md5 rather than
+    a faster non-cryptographic hash so the DuckDB oracle can recompute the
+    identical fingerprint from `md5(word)` hex nibbles (the same
+    engine-portability trade the random-walk draw makes; graph.py). Cached:
+    token distributions are Zipfian, so within an executor the hot
+    vocabulary hits the cache and the per-word hashing cost amortizes ~0."""
+    h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
     bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     return np.where(bits == 1, np.int64(1), np.int64(-1))
 
 
 def _simhash64(text: str) -> int:
-    words = (text or "").lower().split()
+    # ASCII-whitespace split for cross-engine tokenizer parity -- see the
+    # _ASCII_WS rationale above (DuckDB/RE2 `\s` is ASCII-only).
+    words = [w for w in _ASCII_WS.split((text or "").lower()) if w]
     if not words:
         return -(1 << 63)
     acc = np.sum([_word_signbits(w) for w in words], axis=0)
