@@ -590,6 +590,11 @@ def link_entities_lsh(spark, sf_dir):
 
 
 def dedup_minhash(spark, sf_dir):
+    """Banded-minhash near-dup pairs — the LSH scale path hash-verified
+    end-to-end: the DuckDB oracle recomputes the md5-based gram hashes and
+    the seeded permutations (numpy int64 wraparound emulated bit-exactly),
+    then replays banding, the bucket cap + star pairs, the signature
+    prefilter, and the exact word-3-shingle Jaccard verify 1:1."""
     from textchunking_and_knowledgegraph_spark.operators.dedup import minhash_near_dups
 
     return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -1136,6 +1141,167 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
     return sql
 
 
+def _minhash_oracle_sql(
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+    sig_margin: float = 0.2,
+) -> str:
+    """DuckDB replay of operators/dedup.py ``minhash_near_dups`` — the LSH
+    scale path itself hash-verified end-to-end, not just its exact-Jaccard
+    verify metric (dedup_ngram covers that):
+
+    * gram hash: first 8 md5 bytes >> 3, recomputed from hex nibbles
+      (``linking._gram_hash``'s engine-portable basis);
+    * permutations: the seeded ``_perm_params`` (a, b) constants inlined as
+      a VALUES CTE — deterministic parameters of the operator, exactly like
+      the walk oracle inlines its seed;
+    * the permuted value replays numpy int64 semantics bit-for-bit: the
+      product wraps mod 2^64 into a SIGNED value (numpy silently overflows
+      int64), then ``% P`` is FLOORED (numpy/Python sign convention), so
+      the emulation is wrap -> reinterpret-signed -> ((x % P) + P) % P;
+    * banding joins on the comma-joined 4-slice VALUE where Spark joins on
+      xxhash64 of that string — equal strings give equal hashes, so the
+      replay diverges only on a 2^-64 hash collision between distinct
+      slices (and such a phantom candidate would still have to pass the
+      exact-Jaccard verify to change the output);
+    * bucket cap, min-id star pairs, the zip_with signature prefilter
+      (>= threshold - sig_margin, same float64 literal arithmetic), and
+      the exact word-3-shingle Jaccard verify replay 1:1. Exact-dup
+      pre-collapse needs no replay: identical texts get identical
+      signatures, so the collapsed and direct paths emit the same pairs.
+    """
+    from textchunking_and_knowledgegraph_spark.operators.linking import (
+        _perm_params,
+    )
+
+    a, b = _perm_params(n_perm)
+    rows = n_perm // bands
+    perm_vals = ",\n                  ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(n_perm)
+    )
+    band_ids = ", ".join(str(i) for i in range(bands))
+    prefilter = threshold - sig_margin  # same float64 arithmetic as Spark
+    return rf"""
+            WITH perms(perm, a, b) AS (VALUES
+                  {perm_vals}),
+            d AS (
+              SELECT doc_id AS id,
+                     list_filter(
+                       string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                       w -> w <> '') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                     WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+                     ELSE [] END AS sh
+              FROM d
+            ),
+            doc_gram AS (SELECT id, unnest(sh) AS g FROM sh),
+            gh AS (
+              SELECT g,
+                     (list_sum(list_transform(range(1, 17),
+                        p -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(g), CAST(p AS INTEGER), 1)) - 1
+                               AS HUGEINT)
+                             << CAST(4 * (16 - p) AS INTEGER))) >> 3) AS h
+              FROM (SELECT DISTINCT g FROM doc_gram)
+            ),
+            gv AS (
+              SELECT gh.g, perms.perm,
+                     (((CASE WHEN (perms.a * (gh.h % 2305843009213693951))
+                                  % 18446744073709551616
+                                  >= 9223372036854775808
+                             THEN (perms.a * (gh.h % 2305843009213693951))
+                                  % 18446744073709551616
+                                  - 18446744073709551616
+                             ELSE (perms.a * (gh.h % 2305843009213693951))
+                                  % 18446744073709551616
+                        END % 2305843009213693951) + 2305843009213693951)
+                      % 2305843009213693951 + perms.b)
+                     % 2305843009213693951 AS v
+              FROM gh CROSS JOIN perms
+            ),
+            sig_rows AS (
+              SELECT dg.id, gv.perm, CAST(MIN(gv.v) AS BIGINT) AS s
+              FROM doc_gram dg JOIN gv ON gv.g = dg.g
+              GROUP BY dg.id, gv.perm
+            ),
+            sigs AS (
+              -- every doc gets a signature; gram-less docs are all-zero
+              SELECT d.id,
+                     COALESCE(sl.sl,
+                              list_transform(range(0, {n_perm}),
+                                             x -> CAST(0 AS BIGINT))) AS sl
+              FROM d LEFT JOIN (
+                SELECT id, list(s ORDER BY perm) AS sl
+                FROM sig_rows GROUP BY id
+              ) sl USING (id)
+            ),
+            bd AS (
+              SELECT id, b.band_id,
+                     array_to_string(
+                       sl[{rows} * b.band_id + 1 : {rows} * b.band_id + {rows}],
+                       ',') AS band_key
+              FROM sigs CROSS JOIN
+                   (SELECT unnest([{band_ids}]) AS band_id) b
+            ),
+            buckets AS (
+              SELECT band_id, band_key, COUNT(*) AS bsz,
+                     MIN(id) AS bucket_rep
+              FROM bd GROUP BY band_id, band_key
+            ),
+            small AS (
+              SELECT bd.id, bd.band_id, bd.band_key
+              FROM bd JOIN buckets USING (band_id, band_key)
+              WHERE buckets.bsz <= {max_bucket}
+            ),
+            quad_pairs AS (
+              SELECT l.id AS id_a, r.id AS id_b
+              FROM small l
+              JOIN small r ON l.band_id = r.band_id
+                          AND l.band_key = r.band_key AND l.id < r.id
+            ),
+            star_pairs AS (
+              SELECT bk.bucket_rep AS id_a, bd.id AS id_b
+              FROM bd JOIN buckets bk USING (band_id, band_key)
+              WHERE bk.bsz > {max_bucket} AND bd.id <> bk.bucket_rep
+            ),
+            pairs AS (
+              SELECT DISTINCT id_a, id_b FROM
+                (SELECT * FROM quad_pairs UNION ALL SELECT * FROM star_pairs)
+            ),
+            survivors AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN sigs sa ON sa.id = p.id_a
+              JOIN sigs sb ON sb.id = p.id_b
+              WHERE list_sum(list_transform(range(1, {n_perm} + 1),
+                      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END))
+                    / {float(n_perm)} >= {prefilter!r}
+            ),
+            verified AS (
+              SELECT s.id_a, s.id_b,
+                     CASE WHEN len(list_distinct(
+                                  list_concat(ga.sh, gb.sh))) = 0 THEN 0.0
+                          ELSE len(list_intersect(ga.sh, gb.sh))
+                               / CAST(len(list_distinct(
+                                   list_concat(ga.sh, gb.sh))) AS DOUBLE)
+                     END AS jaccard
+              FROM survivors s
+              JOIN sh ga ON ga.id = s.id_a
+              JOIN sh gb ON gb.id = s.id_b
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+            FROM verified WHERE jaccard >= {threshold!r}
+    """
+
+
 # DuckDB CTE producing the posting table (term, doc_id, tf) from the
 # documents view -- 1:1 mirror of operators/postings.py ``tokenize`` +
 # ``build_postings``: lowercase latin/digit runs unioned with CJK char
@@ -1584,6 +1750,10 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE inter_n * 100 >= 40 * union_n AND inter_n > 0
         """,
+        # --- the LSH minhash scale path replayed end-to-end (signatures,
+        # banding, skew cap + star pairs, prefilter, exact verify) — see
+        # _minhash_oracle_sql for the numpy-int64 emulation argument ---
+        "dedup_minhash": _minhash_oracle_sql(),
         # --- simhash near-dup replay: the fingerprint basis is md5 (first 8
         # bytes, big-endian), which DuckDB recomputes from hex nibbles —
         # bit i of word-hash h lives in nibble 16 - i//4 of md5(w) at

@@ -263,7 +263,11 @@ def _word_signbits(w: str) -> np.ndarray:
     engine-portability trade the random-walk draw makes; graph.py). Cached:
     token distributions are Zipfian, so within an executor the hot
     vocabulary hits the cache and the per-word hashing cost amortizes ~0."""
-    h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
+    h = np.uint64(
+        int.from_bytes(
+            hashlib.md5(w.encode(), usedforsecurity=False).digest()[:8], "big"
+        )
+    )
     bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     return np.where(bits == 1, np.int64(1), np.int64(-1))
 

@@ -64,9 +64,18 @@ def _char_ngrams(text: str, n: int = 2) -> set[str]:
 
 @functools.lru_cache(maxsize=1 << 20)
 def _gram_hash(gram: str) -> int:
-    # stable 8-byte hash (blake2b), independent of PYTHONHASHSEED; cached --
-    # char-ngram vocabularies are tiny relative to corpus size
-    return int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "big") >> 3
+    # stable 8-byte hash (first 8 md5 bytes), independent of
+    # PYTHONHASHSEED; md5 rather than blake2b so the DuckDB dedup_minhash
+    # oracle can recompute the identical gram hashes from `md5(gram)` hex
+    # nibbles (the same engine-portability trade the simhash fingerprint
+    # and the random-walk draw make); cached -- gram vocabularies are tiny
+    # relative to corpus size
+    return (
+        int.from_bytes(
+            hashlib.md5(gram.encode(), usedforsecurity=False).digest()[:8], "big"
+        )
+        >> 3
+    )
 
 
 def _signature(text: str, a: np.ndarray, b: np.ndarray) -> list[int]:
