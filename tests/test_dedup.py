@@ -98,6 +98,51 @@ def test_shingle_tokenizer_whitespace_parity(spark):
     assert any("　" in s for s in py[0])
 
 
+def test_minhash_duckdb_oracle_parity_cjk(spark):
+    """Run the dedup_minhash DuckDB oracle against `minhash_near_dups` on a
+    fixture with CJK text, U+3000 separators, exact duplicates, and an
+    empty doc — none of which the driver's English sf0.01 corpus exercises.
+    Pins the full replay (md5 gram hash, numpy-int64 wraparound emulation,
+    banding on slice values, star pairs, prefilter, exact verify) beyond
+    the driver's corpus."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_test", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    base = "函数的概念 与 映射 是 数学 的 基础 内容 之一 必修 课程 重点 章节"
+    rows = [
+        (1, base),
+        (2, base.replace("重点", "核心")),          # near-dup of 1
+        (3, base),                                   # exact dup of 1
+        (4, "甲　乙　丙　丁 alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "甲　乙　丙　丁 alpha beta gamma delta epsilon zeta eta iota"),
+        (6, "completely different text about nothing shared at all here"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spark = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dups(df, threshold=0.5).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got_duck = {
+        tuple(r) for r in con.execute(entry._minhash_oracle_sql()).fetchall()
+    }
+    assert got_spark == got_duck
+    ids = {(a, b) for a, b, _ in got_spark}
+    assert (1, 2) in ids and (1, 3) in ids and (4, 5) in ids
+    assert not any(6 in p or 7 in p for p in ids)
+
+
 def test_minhash_collapse_path_output(spark):
     """>5% exact duplication triggers the distinct-fingerprint signature
     collapse (signatures computed once per distinct text, joined back);
