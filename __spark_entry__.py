@@ -1141,6 +1141,56 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
     return sql
 
 
+def _simhash_fingerprint_sql() -> str:
+    """Shared CTE chain (words → fp) recomputing operators/dedup.py
+    ``_simhash64`` fingerprints in DuckDB: ASCII case-fold + ASCII-ws split
+    (the three-engine-parity tokenizer, see dedup.py ``_ASCII_LOWER_TAB``),
+    bit i of the md5-based word hash read from hex nibble 16 - i//4 at
+    in-nibble position i%4, sign votes summed with occurrence multiplicity,
+    the unsigned fingerprint packed by the >0 vote threshold, and the
+    signed LongType twin u - 2^63. Used by BOTH the dedup_simhash oracle
+    and the pytest bit-layout parity test, so the test can never drift
+    from the shipped SQL."""
+    return r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(
+                         translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   'abcdefghijklmnopqrstuvwxyz'),
+                         '[ \t\n\x0B\f\r]+'),
+                       w -> w <> '')) AS w
+              FROM documents
+            ), wcount AS (
+              SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+            ), dw AS (
+              SELECT DISTINCT w FROM wcount
+            ), wb AS (
+              SELECT w, b.i AS bit,
+                     CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(w), CAST(16 - (b.i // 4) AS INTEGER), 1))
+                                - 1) >> (b.i % 4)) & 1 = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM dw CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+            ), acc AS (
+              SELECT wc.doc_id, wb.bit, SUM(wb.sgn * wc.c) AS s
+              FROM wcount wc JOIN wb ON wb.w = wc.w
+              GROUP BY wc.doc_id, wb.bit
+            ), fp_u AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0
+                              THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                              ELSE CAST(0 AS HUGEINT) END) AS u
+              FROM acc GROUP BY doc_id
+            ), fp AS (
+              SELECT d.doc_id AS id,
+                     COALESCE(f.u, CAST(0 AS HUGEINT)) AS u,
+                     CAST(COALESCE(f.u, CAST(0 AS HUGEINT))
+                          - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN fp_u f USING (doc_id)
+            )"""
+
+
 def _minhash_oracle_sql(
     threshold: float = 0.5,
     n_perm: int = 64,
@@ -1189,7 +1239,10 @@ def _minhash_oracle_sql(
             d AS (
               SELECT doc_id AS id,
                      list_filter(
-                       string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                       string_split_regex(
+                         translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   'abcdefghijklmnopqrstuvwxyz'),
+                         '[ \t\n\x0B\f\r]+'),
                        w -> w <> '') AS words
               FROM documents
             ),
@@ -1725,7 +1778,9 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id AS id,
                      list_filter(
-                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       regexp_split_to_array(
+                         translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   'abcdefghijklmnopqrstuvwxyz'), '\s+'),
                        w -> w <> '') AS words
               FROM documents
               WHERE length(trim(text)) > 0
@@ -1767,41 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_near_dups. Duplicated (id_a, id_b) rows across the banded
         # and star branches always agree on hamming (identical simhash =>
         # xor 0 on both), so DISTINCT == Spark's dropDuplicates ---
-        "dedup_simhash": r"""
-            WITH words AS (
-              SELECT doc_id,
-                     unnest(list_filter(
-                       string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
-                       w -> w <> '')) AS w
-              FROM documents
-            ), wcount AS (
-              SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
-            ), dw AS (
-              SELECT DISTINCT w FROM wcount
-            ), wb AS (
-              SELECT w, b.i AS bit,
-                     CASE WHEN ((strpos('0123456789abcdef',
-                                substr(md5(w), CAST(16 - (b.i // 4) AS INTEGER), 1))
-                                - 1) >> (b.i % 4)) & 1 = 1
-                          THEN 1 ELSE -1 END AS sgn
-              FROM dw CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
-            ), acc AS (
-              SELECT wc.doc_id, wb.bit, SUM(wb.sgn * wc.c) AS s
-              FROM wcount wc JOIN wb ON wb.w = wc.w
-              GROUP BY wc.doc_id, wb.bit
-            ), fp_u AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN s > 0
-                              THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
-                              ELSE CAST(0 AS HUGEINT) END) AS u
-              FROM acc GROUP BY doc_id
-            ), fp AS (
-              SELECT d.doc_id AS id,
-                     COALESCE(f.u, CAST(0 AS HUGEINT)) AS u,
-                     CAST(COALESCE(f.u, CAST(0 AS HUGEINT))
-                          - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS simhash
-              FROM documents d LEFT JOIN fp_u f USING (doc_id)
-            ), bands AS (
+        "dedup_simhash": _simhash_fingerprint_sql() + r""", bands AS (
               SELECT id, simhash,
                      b.band_id,
                      CAST((u >> (b.band_id * 16)) & 65535 AS BIGINT) AS band_val

@@ -151,7 +151,13 @@ def test_add_content_migrates_legacy_vertex_layout(spark):
     """A graph whose vertices/ predates the bucketed layout (flat parquet,
     no v_bucket column) must still take increments: the first add_content
     performs a one-time full migration to the bucketed layout instead of
-    crashing on the missing column, and the merged result equals one-shot."""
+    crashing on the missing column, and the merged result equals one-shot.
+    Runs under a session-level partitionOverwriteMode=dynamic default — the
+    configuration under which an implicit (mode-inheriting) migration write
+    would leave the legacy flat files in place next to the new v_bucket=*
+    dirs; the migration must force static mode explicitly."""
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     src, _ = corpus_df(spark)
     half = F.pmod(F.xxhash64("path"), F.lit(2))
     first, second = src.filter(half == 0), src.filter(half == 1)
@@ -171,10 +177,17 @@ def test_add_content_migrates_legacy_vertex_layout(spark):
         add_content(spark, out, second)
         materialize_graph(build_triples(spark, src), full_out, spark=spark)
         assert _vertex_set(spark, out) == _vertex_set(spark, full_out)
-        # migrated on the way through: bucketed layout from now on
+        # migrated on the way through: bucketed layout from now on, and the
+        # legacy flat root-level part files are GONE (a dynamic-mode
+        # migration write would have left them -> mixed-layout reads)
         assert "v_bucket" in spark.read.parquet(vdir).columns
         assert any(d.startswith("v_bucket=") for d in os.listdir(vdir))
+        assert not any(
+            d.startswith("part-") and d.endswith(".parquet")
+            for d in os.listdir(vdir)
+        )
     finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(base, ignore_errors=True)
 
 

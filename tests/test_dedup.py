@@ -105,16 +105,10 @@ def test_minhash_duckdb_oracle_parity_cjk(spark):
     Pins the full replay (md5 gram hash, numpy-int64 wraparound emulation,
     banding on slice values, star pairs, prefilter, exact verify) beyond
     the driver's corpus."""
-    import importlib.util
-
     import duckdb
     import pandas as pd
 
-    spec = importlib.util.spec_from_file_location(
-        "entry_for_test", "/root/repo/__spark_entry__.py"
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
+    import __spark_entry__ as entry
 
     base = "函数的概念 与 映射 是 数学 的 基础 内容 之一 必修 课程 重点 章节"
     rows = [
@@ -173,54 +167,33 @@ def test_simhash_duckdb_fingerprint_parity():
     """The dedup_simhash oracle rebuilds the 64-bit fingerprint from
     md5(word) hex nibbles — bit i lives in nibble 16 - i//4 at in-nibble
     position i%4. Pin that bit-layout equivalence against `_simhash64`
-    directly (CJK words, U+3000 inside a token, repeated words voting with
-    multiplicity, and the empty-text sentinel -2^63), independent of the
-    driver corpus which exercises none of the CJK paths."""
+    directly, running the SAME `_simhash_fingerprint_sql()` the shipped
+    oracle uses (so the test cannot drift from it), on inputs the driver
+    corpus never exercises: CJK words, U+3000 inside a token, repeated
+    words voting with multiplicity, the empty-text sentinel -2^63, and the
+    unicode case-mapping traps (final-position Σ, dotted İ) that full
+    lower() resolves differently per engine — the ASCII-only case-fold
+    keeps all three engines byte-identical on them."""
     import duckdb
 
+    import __spark_entry__ as entry
+
     texts = [
-        "the quick brown fox jumps over the lazy dog",
+        "The Quick brown fox JUMPS over the lazy dog",
         "函数的概念 与 映射",
         "alpha　beta alpha　beta gamma",  # U+3000 inside tokens, repeats
         "",
+        "ΟΔΥΣΣΕΥΣ and İstanbul MiXeD",  # Σ/İ: divergent under full lower()
     ]
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany(
         "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
     )
-    sql = r"""
-        WITH words AS (
-          SELECT doc_id,
-                 unnest(list_filter(
-                   string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
-                   w -> w <> '')) AS w
-          FROM documents
-        ), wcount AS (
-          SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
-        ), wb AS (
-          SELECT w, b.i AS bit,
-                 CASE WHEN ((strpos('0123456789abcdef',
-                            substr(md5(w), CAST(16 - (b.i // 4) AS INTEGER), 1))
-                            - 1) >> (b.i % 4)) & 1 = 1
-                      THEN 1 ELSE -1 END AS sgn
-          FROM (SELECT DISTINCT w FROM wcount)
-          CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
-        ), acc AS (
-          SELECT wc.doc_id, wb.bit, SUM(wb.sgn * wc.c) AS s
-          FROM wcount wc JOIN wb ON wb.w = wc.w GROUP BY wc.doc_id, wb.bit
-        ), fp_u AS (
-          SELECT doc_id,
-                 SUM(CASE WHEN s > 0
-                          THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
-                          ELSE CAST(0 AS HUGEINT) END) AS u
-          FROM acc GROUP BY doc_id
-        )
-        SELECT d.doc_id,
-               CAST(COALESCE(f.u, CAST(0 AS HUGEINT))
-                    - (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS simhash
-        FROM documents d LEFT JOIN fp_u f USING (doc_id) ORDER BY d.doc_id
-    """
+    sql = (
+        entry._simhash_fingerprint_sql()
+        + " SELECT id, simhash FROM fp ORDER BY id"
+    )
     got = dict(con.execute(sql).fetchall())
     for i, t in enumerate(texts):
         assert got[i] == _simhash64(t), (i, t)

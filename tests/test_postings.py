@@ -41,6 +41,27 @@ def test_doc_frequencies(spark):
     assert df["vector"] == (1, 1)
 
 
+def test_write_postings_empty_corpus(spark):
+    """An empty corpus must produce an empty index plus a zeros stats
+    sidecar, not an UNABLE_TO_INFER_SCHEMA crash on the stats read-back of
+    a part-file-less directory (regression: the write-time stats aggregate
+    reads the just-written table with its schema supplied explicitly)."""
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        index_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="tckg_post_empty_")
+    try:
+        io = TableIO(base=base)
+        empty = _docs(spark).filter(F.lit(False))
+        write_postings(build_postings(empty), io, n_term_buckets=8)
+        stats = index_stats(io)
+        assert stats["n_docs"] == 0 and stats["n_postings"] == 0
+        assert term_lookup(spark, io, "spark", n_term_buckets=8).count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_write_and_term_lookup_prunes(spark):
     base = tempfile.mkdtemp(prefix="tckg_post_")
     try:

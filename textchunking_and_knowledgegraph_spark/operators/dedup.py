@@ -65,9 +65,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # path (a deliberate, consistent choice: CJK text does not space-tokenize).
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
+# ASCII case-folding ONLY, for the same three-engine-parity reason: full
+# unicode lower() DIVERGES between engines (Python maps final-position
+# 'Σ'→'ς' and 'İ'→'i'+U+0307; DuckDB maps codepoint-wise; the JVM differs
+# again), and the dedup family's hash verification requires the Python
+# metric, the JVM baseline, and the DuckDB oracle to produce byte-identical
+# tokens for EVERY input, not just the driver corpus. Non-ASCII letters
+# keep their case on every path (CJK has no case; the recall cost is
+# confined to mixed-case non-Latin scripts and is documented here).
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER_TAB = str.maketrans(_ASCII_UPPER, _ASCII_UPPER.lower())
+
+
+def _ascii_lower_col(c: F.Column) -> F.Column:
+    """JVM twin of ``str.translate(_ASCII_LOWER_TAB)``."""
+    return F.translate(c, _ASCII_UPPER, _ASCII_UPPER.lower())
+
 
 def _word_shingles(text: str, k: int = 3) -> set[str]:
-    words = [w for w in _ASCII_WS.split((text or "").lower()) if w]
+    words = [
+        w
+        for w in _ASCII_WS.split((text or "").translate(_ASCII_LOWER_TAB))
+        if w
+    ]
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
@@ -273,9 +293,13 @@ def _word_signbits(w: str) -> np.ndarray:
 
 
 def _simhash64(text: str) -> int:
-    # ASCII-whitespace split for cross-engine tokenizer parity -- see the
-    # _ASCII_WS rationale above (DuckDB/RE2 `\s` is ASCII-only).
-    words = [w for w in _ASCII_WS.split((text or "").lower()) if w]
+    # ASCII-whitespace split + ASCII case-fold for cross-engine tokenizer
+    # parity -- see the _ASCII_WS / _ASCII_LOWER_TAB rationales above.
+    words = [
+        w
+        for w in _ASCII_WS.split((text or "").translate(_ASCII_LOWER_TAB))
+        if w
+    ]
     if not words:
         return -(1 << 63)
     acc = np.sum([_word_signbits(w) for w in words], axis=0)
@@ -389,10 +413,11 @@ def ngram_jaccard_pairs(
 
 def _shingle_col(text_col: str, k: int = 3) -> F.Column:
     """Distinct word k-shingles as a JVM array column — the column-algebra
-    twin of ``_word_shingles`` (lowercase, whitespace split, k-word windows;
-    <k words collapse to the single joined shingle)."""
+    twin of ``_word_shingles`` (ASCII lowercase, ASCII-whitespace split,
+    k-word windows; <k words collapse to the single joined shingle)."""
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+        F.split(_ascii_lower_col(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
     )
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(words) - (k - 1)),

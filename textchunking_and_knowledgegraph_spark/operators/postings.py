@@ -126,7 +126,15 @@ def write_postings(
     # re-scan + re-tokenize the whole corpus a second time; the read-back
     # costs one column-pruned pass over the compact written index instead.
     spark = postings.sparkSession
-    stats = io.read(spark, name).agg(
+    if io.fmt == "iceberg":
+        written = io.read(spark, name)
+    else:
+        # supply the schema explicitly: an empty corpus writes a directory
+        # with no part files, and schema inference on it would fail with
+        # UNABLE_TO_INFER_SCHEMA -- with the schema given, the read-back is
+        # simply an empty index and the stats payload records zeros
+        written = spark.read.schema(bucketed.schema).parquet(io._path(name))
+    stats = written.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("term").alias("n_terms"),
         F.count("*").alias("n_postings"),
@@ -137,6 +145,13 @@ def write_postings(
         "n_postings": int(stats["n_postings"]),
         "n_term_buckets": n_term_buckets,
     }
+    if io.fmt != "iceberg":
+        # persist the written schema (doc_id's type follows the corpus, so
+        # it is not static): readers supply it instead of inferring, which
+        # keeps an EMPTY index readable -- a zero-posting corpus writes a
+        # partitioned directory with no part files, and schema inference
+        # on that fails with UNABLE_TO_INFER_SCHEMA
+        payload["schema"] = json.loads(bucketed.schema.json())
     if io.fmt == "iceberg":
         # iceberg has no directory to drop a file into -- carry the stats as
         # table properties (the canonical iceberg metadata channel)
@@ -271,6 +286,27 @@ def fuzzy_search(
     return tfidf_search(postings, cand, n_docs=n_docs, k=k)
 
 
+def read_index(
+    spark: SparkSession, io: TableIO, name: str = "postings"
+) -> DataFrame:
+    """Open the materialized index. For parquet, the schema persisted by
+    ``write_postings`` is supplied explicitly when present — no footer
+    inference, and an empty index (zero-posting corpus: a partitioned dir
+    with no part files) stays readable instead of failing inference."""
+    if io.fmt == "iceberg":
+        return io.read(spark, name)
+    stats_path = os.path.join(io._path(name), "_index_stats.json")
+    if os.path.exists(stats_path):
+        from pyspark.sql import types as T
+
+        with open(stats_path) as f:
+            ddl = json.load(f).get("schema")
+        if ddl:
+            schema = T.StructType.fromJson(ddl)
+            return spark.read.schema(schema).parquet(io._path(name))
+    return io.read(spark, name)
+
+
 def term_lookup(
     spark: SparkSession,
     io: TableIO,
@@ -283,7 +319,7 @@ def term_lookup(
     to one partition directory before the term filter."""
     probe = F.pmod(F.xxhash64(F.lit(term)), F.lit(n_term_buckets)).cast("int")
     return (
-        io.read(spark, name)
+        read_index(spark, io, name)
         .filter((F.col("term_bucket") == probe) & (F.col("term") == term))
         .drop("term_bucket")
     )

@@ -152,8 +152,15 @@ def add_content(
             .sortWithinPartitions("v_bucket", "name")
             .write.mode("overwrite")
         )
-        if not legacy_vertices:
-            vwriter = vwriter.option("partitionOverwriteMode", "dynamic")
+        # the mode is set EXPLICITLY on both branches: the migration relies
+        # on a static overwrite clearing the legacy flat root-level files,
+        # and a session-level spark.sql.sources.partitionOverwriteMode=
+        # dynamic default would otherwise silently leave them in place
+        # (mixed flat+partitioned layout -> conflicting-directory reads)
+        vwriter = vwriter.option(
+            "partitionOverwriteMode",
+            "static" if legacy_vertices else "dynamic",
+        )
         vwriter.partitionBy("v_bucket").parquet(vdir)
 
         # recommit manifests for affected buckets (lineage/metrics stay true)
