@@ -950,7 +950,14 @@ def _linking_fixture_sql() -> str:
     no LSH. Hash equality therefore PROVES the banded-minhash blocking
     loses no top-1 link on the fixture (the same exact-vs-blocked pinning
     q21/ann_srp and dedup_ngram/dedup_minhash use, here collapsed into
-    one entry because the fixture is small enough for the exact join)."""
+    one entry because the fixture is small enough for the exact join).
+
+    Parity envelope: this oracle lowercases with DuckDB ``lower`` while
+    the operator uses Python ``str.lower`` — equivalent on the fixture's
+    CJK/ASCII vocabulary (CJK has no case), which is the only text this
+    inlined-VALUES oracle can ever see. The corpus-facing dedup oracles,
+    which DO take arbitrary text, use the ASCII-only case-fold instead
+    (see dedup.py ``_ASCII_LOWER_TAB``)."""
     from textchunking_and_knowledgegraph_spark.sources.synthetic import (
         synthesize_entity_dictionary,
     )
