@@ -687,7 +687,7 @@ def graph_random_walk(spark, sf_dir):
 
     edges = _dict_edges(spark)
     seeds = edges.select(F.col("subj").alias("seed_node")).distinct()
-    return random_walk(edges, seeds, walk_len=3, n_walks=2, seed=42)
+    return random_walk(edges, seeds, walk_len=3, n_walks=2, seed=42, draw_hash="md5")
 
 
 def kg_add_content(spark, sf_dir):
@@ -812,7 +812,7 @@ def mm_features(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .filter(
             (F.col("lang") == "en")
-            & F.col("text").rlike("^[ -~]+$")
+            & F.col("text").rlike(r"\A[ -~]+\z")
             & (F.length("text") >= 4)
         )
         .select(
@@ -1121,7 +1121,7 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
             , seeds AS (SELECT DISTINCT subj AS seed_node FROM edges),
             s0 AS (
               SELECT seed_node || '#' || n AS walk_id, seed_node,
-                     seed_node AS cur, seed_node AS path
+                     seed_node AS cur, seed_node AS path, 0 AS steps
               FROM seeds CROSS JOIN (SELECT unnest([{walk_nos}]) AS n) t
             )"""
     for step in range(1, walk_len + 1):
@@ -1130,9 +1130,11 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
               SELECT walk_id, seed_node,
                      COALESCE(obj, cur) AS cur,
                      CASE WHEN obj IS NULL THEN path
-                          ELSE path || '->' || obj END AS path
+                          ELSE path || '->' || obj END AS path,
+                     CASE WHEN obj IS NULL THEN steps
+                          ELSE steps + 1 END AS steps
               FROM (
-                SELECT w.walk_id, w.seed_node, w.cur, w.path, e.obj,
+                SELECT w.walk_id, w.seed_node, w.cur, w.path, w.steps, e.obj,
                        ROW_NUMBER() OVER (PARTITION BY w.walk_id
                          ORDER BY md5(concat_ws('|', '{seed}', w.walk_id,
                                                 '{step}', e.obj)) ASC NULLS LAST,
@@ -1142,7 +1144,7 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
             )"""
     sql += f"""
             SELECT walk_id, seed_node, path AS walk,
-                   CAST(len(string_split(path, '->')) - 1 AS INTEGER) AS steps
+                   CAST(steps AS INTEGER) AS steps
             FROM s{walk_len}
     """
     return sql
@@ -1787,7 +1789,8 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(
                        regexp_split_to_array(
                          translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                                   'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+                                   'abcdefghijklmnopqrstuvwxyz'),
+                         '[ \t\n\x0B\f\r]+'),
                        w -> w <> '') AS words
               FROM documents
               WHERE length(trim(text)) > 0
@@ -1867,9 +1870,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": """
             WITH src AS (
               SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                     CASE doc_id % 3 WHEN 0 THEN 'image'
-                                     WHEN 1 THEN 'audio'
-                                     ELSE 'video' END AS kind,
+                     CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'image'
+                                                 WHEN 1 THEN 'audio'
+                                                 ELSE 'video' END AS kind,
                      substring(text, 1, 4096) AS t
               FROM documents
               WHERE lang = 'en'

@@ -112,6 +112,7 @@ def random_walk(
     n_walks: int = 2,
     seed: int = 42,
     rels: list[str] | None = None,
+    draw_hash: str = "xxhash64",
 ) -> DataFrame:
     """Random-walk neighborhood sampling (`StoreToNeo4j/Neo4j_functions.py:169-178`
     samples one random relationship path per entity).
@@ -119,18 +120,25 @@ def random_walk(
     Distributed + deterministic: all walks advance in lockstep -- each step
     is ONE equi hash-join of the walk frontier against the edge table, and
     the per-walk "random" neighbor choice is argmin of
-    ``md5(seed|walk_id|step|candidate)`` -- a seeded hash draw,
+    ``hash(seed|walk_id|step|candidate)`` -- a seeded hash draw,
     reproducible across runs and partitionings with no RNG state to
-    coordinate. md5 rather than xxhash64 on purpose: DuckDB computes the
-    identical hex digest, so the ENTIRE stochastic walk is replayable in
-    the driver's SQL oracle (ordering by digest string == ordering by the
-    draw). Walks that reach a node with no outgoing edge simply stop
+    coordinate.
+
+    ``draw_hash`` selects the draw function. The default ``xxhash64`` is
+    the cheap native path for corpus-scale walks: the per-step window sorts
+    longs, no hex-string materialization. ``md5`` exists so a caller can
+    make the ENTIRE stochastic walk replayable in an external SQL oracle
+    (DuckDB computes the identical hex digest; ordering by digest string ==
+    ordering by the draw) -- the driver's contract entry opts into it.
+    Walks that reach a node with no outgoing edge simply stop
     (the reference's walk ends when Neo4j returns no relationship).
 
     ``seeds``: one column of start nodes. Output: one row per walk --
     (walk_id, seed_node, walk, steps) with the path serialized as
     ``a->b->c`` (array columns crash pandas-based result canonicalizers).
     """
+    if draw_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"draw_hash must be 'xxhash64' or 'md5', got {draw_hash!r}")
     e = edges
     if rels:
         e = e.filter(F.col("pred").isin(rels))
@@ -150,18 +158,24 @@ def random_walk(
             F.array("seed_node").alias("path"),
         )
     )
+    hash_fn = F.md5 if draw_hash == "md5" else F.xxhash64
     for step in range(1, walk_len + 1):
         cand = walks.join(e, walks.cur == e._src, "left")
+        draw = hash_fn(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.col("walk_id"),
+                F.lit(str(step)),
+                F.col("_dst"),
+            )
+        )
+        if draw_hash == "xxhash64":
+            # xxhash64(NULL-bearing concat) is still non-null; draw only on
+            # real candidates so dead-end walks keep the NULLS LAST contract.
+            draw = F.when(F.col("_dst").isNotNull(), draw)
         w = Window.partitionBy("walk_id").orderBy(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(seed)),
-                    F.col("walk_id"),
-                    F.lit(str(step)),
-                    F.col("_dst"),
-                )
-            ).asc_nulls_last(),
+            draw.asc_nulls_last(),
             F.col("_dst").asc_nulls_last(),
         )
         walks = (
