@@ -45,6 +45,23 @@ def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_as_source(spark, f"{sf_dir}/documents.parquet")
 
 
+_SPLIT_DIR = "/tmp/tckg_split"
+
+
+def _materialize_upstream(df: DataFrame, name: str) -> DataFrame:
+    """Split-lineage oracle support (contract-only, not engine code): the
+    chunker/parser upstream of a query is non-SQL (mapInPandas), but its
+    DOWNSTREAM algebra is plain relational. Persist the upstream to parquet
+    and hand the read-back to the downstream operator; the matching
+    ``oracle_sql()`` entry reads the SAME parquet with ``read_parquet`` and
+    recomputes the downstream independently in DuckDB, so the hash compare
+    verifies the downstream algebra exactly (the driver runs the Spark
+    callable before the oracle SQL, so the file is always fresh)."""
+    path = f"{_SPLIT_DIR}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _cents(col) -> F.Column:
     """Exact integer aggregation of a 2-decimal double (sum order-invariant)."""
     return F.round(col * 100).cast("long")
@@ -520,7 +537,10 @@ def paper_questions(spark, sf_dir):
 
 
 def paper_knowledge_edges(spark, sf_dir):
-    """G4/J3: question -> 考查 knowledge edges via vocabulary containment."""
+    """G4/J3: question -> 考查 knowledge edges via vocabulary containment.
+    Hash-verified via split lineage: the parsed question table (non-SQL
+    upstream) is materialized to parquet; DuckDB independently recomputes
+    the containment join + edge projection from that parquet."""
     from textchunking_and_knowledgegraph_spark.operators.paper import (
         parse_papers,
         question_knowledge_edges,
@@ -530,7 +550,10 @@ def paper_knowledge_edges(spark, sf_dir):
         prepared_paper_source,
     )
 
-    qs = parse_papers(prepared_paper_source(spark, _paper_source(spark)))
+    qs = _materialize_upstream(
+        parse_papers(prepared_paper_source(spark, _paper_source(spark))),
+        "paper_questions_up",
+    )
     vocab = ["函数的单调性", "等差数列", "平面向量", "概率的基本性质"]
     return question_knowledge_edges(qs, vocabulary_matches(qs, vocab))
 
@@ -542,13 +565,19 @@ def kg_chunks(spark, sf_dir):
 
 
 def kg_chunk_stats(spark, sf_dir):
-    """A1/S11: chunk-length mean/variance + histogram per (repo, lang)."""
+    """A1/S11: chunk-length mean/variance + histogram per (repo, lang).
+    Hash-verified via split lineage: the chunk table (non-SQL upstream) is
+    materialized to parquet; DuckDB independently recomputes the two-level
+    bucket aggregation + exact mean/var from that parquet."""
     from textchunking_and_knowledgegraph_spark.operators.chunker import (
         chunk_length_stats,
     )
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
 
-    return chunk_length_stats(build_chunks(spark, _docs_source(spark, sf_dir)))
+    chunks = _materialize_upstream(
+        build_chunks(spark, _docs_source(spark, sf_dir)), "chunk_stats_up"
+    )
+    return chunk_length_stats(chunks)
 
 
 def kg_triples(spark, sf_dir):
@@ -558,21 +587,38 @@ def kg_triples(spark, sf_dir):
 
 
 def kg_vertices(spark, sf_dir):
+    """A2: vertex table from the triple table. Hash-verified via split
+    lineage: the triple table (non-SQL upstream) is materialized to
+    parquet; DuckDB independently recomputes endpoint-explode + distinct +
+    the md5 vertex id (build_vertices opts into the md5 id basis here so
+    both engines compute the identical digest)."""
     from textchunking_and_knowledgegraph_spark.plans.pipeline import (
         build_triples,
         build_vertices,
     )
 
-    return build_vertices(build_triples(spark, _docs_source(spark, sf_dir)))
+    triples = _materialize_upstream(
+        build_triples(spark, _docs_source(spark, sf_dir)), "vertices_up"
+    )
+    return build_vertices(triples, id_hash="md5")
 
 
 def kg_canonical_triples(spark, sf_dir):
+    """CC canonicalization over the triple table. Hash-verified via split
+    lineage: the triple table is materialized to parquet; DuckDB
+    independently rederives the normalization-key alias groups (the exact
+    component structure -- each collision group is a star onto its min
+    name), applies the mapping with the chunk-object guard, and replays the
+    deterministic struct-min MERGE dedup."""
     from textchunking_and_knowledgegraph_spark.operators.canonicalize import (
         canonicalize_triples,
     )
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
 
-    return canonicalize_triples(build_triples(spark, _docs_source(spark, sf_dir)))
+    triples = _materialize_upstream(
+        build_triples(spark, _docs_source(spark, sf_dir)), "canonical_up"
+    )
+    return canonicalize_triples(triples)
 
 
 def link_entities_lsh(spark, sf_dir):
@@ -1929,4 +1975,120 @@ def oracle_sql() -> dict[str, str]:
         # --- TOC extraction verified against a window-algebra replay of the
         # sequential walk (equivalence argument in _toc_oracle_sql) ---
         "kg_toc": _toc_oracle_sql(),
+        # --- split-lineage oracles: the Spark callable materializes its
+        # non-SQL upstream (chunker / extractor / paper parser output) to
+        # /tmp/tckg_split parquet; DuckDB recomputes the relational
+        # DOWNSTREAM from the same parquet, independently. The driver runs
+        # the Spark side first, so the file is always fresh. ---
+        "kg_chunk_stats": f"""
+            WITH chunks AS (
+              SELECT repo, lang, char_len
+              FROM read_parquet('{_SPLIT_DIR}/chunk_stats_up/*.parquet')
+            ),
+            per_bucket AS (
+              SELECT repo, lang,
+                     CAST(floor(char_len / 100.0) * 100 AS INTEGER) AS bucket,
+                     COUNT(*) AS n,
+                     CAST(SUM(char_len) AS BIGINT) AS s,
+                     CAST(SUM(CAST(char_len AS BIGINT) * char_len) AS BIGINT) AS sq
+              FROM chunks GROUP BY repo, lang, bucket
+            ),
+            agg AS (
+              SELECT repo, lang,
+                     CAST(SUM(n) AS BIGINT) AS n_chunks,
+                     CAST(SUM(s) AS BIGINT) AS sum_len,
+                     CAST(SUM(sq) AS BIGINT) AS sum_sq,
+                     string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+                                ',' ORDER BY bucket) AS len_hist
+              FROM per_bucket GROUP BY repo, lang
+            )
+            SELECT repo, lang, n_chunks, sum_len,
+                   ROUND(CAST(sum_len AS DOUBLE) / n_chunks, 4) AS mean_len,
+                   CASE WHEN n_chunks > 1 THEN
+                     ROUND((CAST(sum_sq AS DOUBLE)
+                            - CAST(sum_len AS DOUBLE) * sum_len / n_chunks)
+                           / (n_chunks - 1), 4)
+                   ELSE 0.0 END AS var_len,
+                   len_hist
+            FROM agg
+        """,
+        "kg_vertices": f"""
+            WITH t AS (
+              SELECT subj, subj_type, obj, obj_type
+              FROM read_parquet('{_SPLIT_DIR}/vertices_up/*.parquet')
+            ),
+            v AS (
+              SELECT DISTINCT name, type FROM (
+                SELECT subj AS name, subj_type AS type FROM t
+                UNION ALL SELECT obj, obj_type FROM t)
+            )
+            SELECT md5(concat_ws(chr(31), name, type)) AS id, name, type FROM v
+        """,
+        # parity envelope: the norm-key case-fold is DuckDB lower vs Java
+        # String lower -- equivalent on ASCII + CJK (the corpus alphabet);
+        # the whitespace class is spelled explicitly (Java \\s includes
+        # \\x0B, RE2 \\s does not).
+        "kg_canonical_triples": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{_SPLIT_DIR}/canonical_up/*.parquet')
+            ),
+            names AS (
+              SELECT DISTINCT name FROM (
+                SELECT subj AS name, subj_type AS tt FROM t
+                UNION ALL SELECT obj, obj_type FROM t)
+              WHERE tt <> 'chunk'
+            ),
+            keyed AS (
+              SELECT name,
+                     regexp_replace(regexp_replace(lower(trim(name)),
+                       '[ \t\n\x0b\f\r.,;:()（）、，。·_-]+', '', 'g'),
+                       '的', '', 'g') AS k
+              FROM names
+            ),
+            rep AS (SELECT k, min(name) AS rep FROM keyed GROUP BY k),
+            mapping AS (
+              SELECT keyed.name, rep.rep AS canonical
+              FROM keyed JOIN rep USING (k)
+              WHERE keyed.name <> rep.rep
+            ),
+            canon AS (
+              SELECT COALESCE(ms.canonical, t.subj) AS subj,
+                     t.pred,
+                     CASE WHEN t.obj_type = 'chunk' THEN t.obj
+                          ELSE COALESCE(mo.canonical, t.obj) END AS obj,
+                     t.subj_type, t.obj_type, t.repo, t.path, t."commit",
+                     t.sha, t.chunk_id
+              FROM t
+              LEFT JOIN mapping ms ON t.subj = ms.name
+              LEFT JOIN mapping mo ON t.obj = mo.name
+            )
+            SELECT subj, pred, obj, subj_type, obj_type, repo, path,
+                   "commit", sha, chunk_id
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY subj, pred, obj, sha
+                ORDER BY subj_type ASC NULLS FIRST, obj_type ASC NULLS FIRST,
+                         repo ASC NULLS FIRST, path ASC NULLS FIRST,
+                         "commit" ASC NULLS FIRST, chunk_id ASC NULLS FIRST
+              ) AS rn FROM canon
+            ) WHERE rn = 1
+        """,
+        "paper_knowledge_edges": f"""
+            WITH q AS (
+              SELECT * FROM read_parquet('{_SPLIT_DIR}/paper_questions_up/*.parquet')
+            ),
+            vocab(term) AS (VALUES
+              ('函数的单调性'), ('等差数列'), ('平面向量'), ('概率的基本性质')),
+            m AS (
+              SELECT DISTINCT doc_id, q_index, term
+              FROM q JOIN vocab ON contains(q.analysis, vocab.term)
+            )
+            SELECT DISTINCT
+                   q.doc_id || ':' || CAST(q.q_index AS VARCHAR) AS subj,
+                   '考查' AS pred, m.term AS obj,
+                   'question' AS subj_type, 'entity' AS obj_type,
+                   q.repo, q.path, q."commit", q.sha,
+                   CAST(NULL AS VARCHAR) AS chunk_id
+            FROM q JOIN m ON q.doc_id = m.doc_id AND q.q_index = m.q_index
+        """,
     }

@@ -162,7 +162,7 @@ def canonicalize_triples(
     if extra_alias_edges is not None:
         edges = edges.unionByName(extra_alias_edges.select("src", "dst")).distinct()
     if edges.isEmpty():
-        return triples
+        return _merge_dedup(triples, triples.columns)
     mapping = connected_components(edges).select(
         F.col("id").alias("name"), F.col("component").alias("canonical")
     )
@@ -185,4 +185,19 @@ def canonicalize_triples(
         )
         .drop("ocanon")
     )
-    return t.select(triples.columns).dropDuplicates(["subj", "pred", "obj", "sha"])
+    return _merge_dedup(t.select(triples.columns), triples.columns)
+
+
+def _merge_dedup(t: DataFrame, columns: list[str]) -> DataFrame:
+    """Deterministic MERGE dedup on (subj, pred, obj, sha): when
+    canonicalization collapses two rows onto the same key, keep the
+    lexicographically-smallest attribute tuple (struct-min, nulls first) --
+    not ``dropDuplicates``'s arbitrary first-seen row, which varies with
+    partitioning and task order. Still one shuffle with map-side partial
+    aggregation (min is combinable), same cost as dropDuplicates."""
+    keys = ["subj", "pred", "obj", "sha"]
+    others = [c for c in columns if c not in keys]
+    merged = t.groupBy(*keys).agg(F.min(F.struct(*others)).alias("_rest"))
+    return merged.select(
+        *keys, *[F.col(f"_rest.{c}").alias(c) for c in others]
+    ).select(columns)

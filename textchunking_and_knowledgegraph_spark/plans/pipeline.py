@@ -125,13 +125,25 @@ def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None
     return triples
 
 
-def build_vertices(triples: DataFrame) -> DataFrame:
+def build_vertices(triples: DataFrame, id_hash: str = "xxhash64") -> DataFrame:
     """Vertex table = distinct endpoints with their types (MERGE semantics =
     dropDuplicates before append, `StoreToNeo4j/Neo4j_functions.py:14-21`).
 
     Single-scan: endpoints come out of ONE explode, not a subj/obj branch
     union -- a union would re-execute the whole upstream (including the
-    extraction UDF) once per branch."""
+    extraction UDF) once per branch.
+
+    ``id_hash`` selects the vertex-id digest. The default ``xxhash64`` is
+    the cheap native path for corpus-scale graphs; ``md5`` exists so a
+    caller can replay the id column in an external SQL oracle (DuckDB
+    computes the identical hex digest) -- the driver contract entry opts
+    into it. Both are deterministic functions of (name, type)."""
+    if id_hash == "md5":
+        id_col = F.md5(F.concat_ws("\x1f", "name", "type"))
+    elif id_hash == "xxhash64":
+        id_col = F.lower(F.hex(F.xxhash64("name", "type")))
+    else:
+        raise ValueError(f"id_hash must be 'xxhash64' or 'md5', got {id_hash!r}")
     return (
         triples.select(
             F.explode(
@@ -143,7 +155,7 @@ def build_vertices(triples: DataFrame) -> DataFrame:
         )
         .select(F.col("v.name").alias("name"), F.col("v.type").alias("type"))
         .dropDuplicates(["name", "type"])
-        .withColumn("id", F.lower(F.hex(F.xxhash64("name", "type"))))
+        .withColumn("id", id_col)
         .select("id", "name", "type")
     )
 
