@@ -154,3 +154,30 @@ def test_batch_signatures_equal_per_doc():
     per_doc = [_signature(t, a, b) for t in texts]
     batch = list(_batch_signatures(texts, a, b))
     assert per_doc == batch
+
+
+def test_link_entities_join_regimes(spark):
+    """Dictionary-side safety: a dictionary under the broadcast threshold
+    broadcasts its banded form; past the threshold the candidate join falls
+    back to a shuffle on (band_id, band_hash) -- no unconditional broadcast
+    of a 100x dictionary. Both regimes return identical links."""
+    entities, aliases = synthesize_entity_dictionary()
+    dict_df = spark.createDataFrame(entities)
+    mentions = spark.createDataFrame(aliases)
+
+    small = link_entities(mentions, dict_df, mention_col="alias")
+    large = link_entities(
+        mentions, dict_df, mention_col="alias", broadcast_threshold=0
+    )
+
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_large = large._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    # the candidate join itself must NOT be broadcast in the large regime
+    # (the tiny score/rank stages may still broadcast elsewhere): assert the
+    # banded dictionary feeds a shuffle, i.e. some sort-merge/shuffled-hash
+    # join is present and the plan differs from the broadcast one
+    assert ("SortMergeJoin" in plan_large) or ("ShuffledHashJoin" in plan_large)
+
+    k = lambda rows: {(r.mention, r.entity, round(r.score, 9)) for r in rows}
+    assert k(small.collect()) == k(large.collect())

@@ -222,3 +222,100 @@ def test_fuzzy_terms_and_search(spark):
     assert {r.doc_id for r in hits} == {1, 3}
     # no expansion -> empty result, no crash
     assert fuzzy_search(postings, "zzzzzzz", n_docs=3).count() == 0
+
+
+def test_index_lifecycle(spark):
+    """ES index lifecycle parity (`es_importer.py:33-38,75-76`): has_index /
+    has_data / delete_index over the materialized posting table."""
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        delete_index,
+        has_data,
+        has_index,
+        write_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="tckg_post_life_")
+    try:
+        io = TableIO(base=base)
+        assert not has_index(io)
+        assert not has_data(spark, io)
+        assert delete_index(io) is False  # absent -> no-op, not an error
+
+        write_postings(build_postings(_docs(spark)), io, n_term_buckets=8)
+        assert has_index(io)
+        assert has_data(spark, io)
+
+        assert delete_index(io) is True
+        assert not has_index(io)
+        assert not has_data(spark, io)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_has_data_false_on_empty_index(spark):
+    """An existing-but-empty index has an index and no data (the seam the
+    reference's create-if-missing loop distinguishes)."""
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        has_data,
+        has_index,
+        write_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="tckg_post_hd_")
+    try:
+        io = TableIO(base=base)
+        write_postings(
+            build_postings(_docs(spark).filter(F.lit(False))), io, n_term_buckets=8
+        )
+        assert has_index(io)
+        assert not has_data(spark, io)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fuzzy_search_no_driver_collect(spark):
+    """The fuzzy expansion must stay a DataFrame end-to-end: fuzzy_search's
+    plan is built without a single .collect() (probed by monkeypatching)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        build_postings,
+        fuzzy_search,
+    )
+
+    postings = build_postings(_docs(spark))
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect in fuzzy_search")
+    ):
+        df = fuzzy_search(postings, "spak", n_docs=3, k=5)
+    rows = df.collect()
+    assert {r.doc_id for r in rows} == {1, 3}
+
+
+def test_fuzzy_search_batch(spark):
+    """Batched fuzzy retrieval: per-probe top-k, one dictionary scan. A
+    probe with no neighborhood contributes no rows; results per probe match
+    the single-probe path."""
+    from textchunking_and_knowledgegraph_spark.operators.postings import (
+        build_postings,
+        fuzzy_search,
+        fuzzy_search_batch,
+    )
+
+    postings = build_postings(_docs(spark))
+    probes = spark.createDataFrame(
+        [("spak",), ("vektor",), ("zzzzzzz",)], "probe string"
+    )
+    batch = fuzzy_search_batch(postings, probes, n_docs=3, k=5).collect()
+    by_probe = {}
+    for r in batch:
+        by_probe.setdefault(r.probe, []).append((r.doc_id, r.score, r.n_terms_matched))
+    assert "zzzzzzz" not in by_probe
+    for probe in ("spak", "vektor"):
+        single = [
+            (r.doc_id, r.score, r.n_terms_matched)
+            for r in fuzzy_search(postings, probe, n_docs=3, k=5).collect()
+        ]
+        assert sorted(by_probe.get(probe, [])) == sorted(single)

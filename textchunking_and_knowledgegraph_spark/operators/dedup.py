@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.io import estimate_input_splits
 from .linking import banded
 
 # ---------------------------------------------------------------------------
@@ -169,7 +170,7 @@ def minhash_near_dups(
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    if base.rdd.getNumPartitions() < par:
+    if estimate_input_splits(base) < par:
         base = base.repartition(par, "id")
     # Exact-dup pre-collapse (adaptive): signatures only need to run once
     # per DISTINCT text -- on duplicate-heavy corpora (boilerplate/template

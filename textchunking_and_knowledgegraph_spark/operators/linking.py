@@ -207,6 +207,7 @@ def link_entities(
     min_score: float = 0.30,
     top_k: int = 1,
     scorer: str = "jaccard",
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """mentions[mention_col, ...] x dictionary[entity_col, ...] ->
     [mention, entity, score] top-k links per distinct mention.
@@ -216,7 +217,15 @@ def link_entities(
     pairwise char-TF-IDF cosine, J2 `Entity_Linking.py:94-110`);
     deterministic top-k (score desc, entity asc). Mentions with no candidate
     above ``min_score`` are absent from the result (the reference returns
-    'None' -- callers left-join and coalesce)."""
+    'None' -- callers left-join and coalesce).
+
+    Join strategy: dictionaries up to ``broadcast_threshold`` distinct
+    entities broadcast their banded form (one hash join, no exchange of the
+    mention side). Past the threshold -- a 100x dictionary would multiply
+    to bands x entities broadcast rows and OOM every executor -- the join
+    falls back to a shuffle on (band_id, band_hash), which both sides
+    already carry as their natural key. The probe is a LIMIT-bounded count
+    (never scans more than threshold+1 dictionary rows)."""
     if scorer not in ("jaccard", "tfidf_cosine"):
         raise ValueError(f"unknown scorer {scorer!r}")
     rows = n_perm // bands
@@ -230,8 +239,9 @@ def link_entities(
     mb = banded(with_minhash(m, "mention", n_perm), bands, rows)
     db = banded(with_minhash(d, "entity", n_perm), bands, rows)
 
+    dict_is_small = d.limit(broadcast_threshold + 1).count() <= broadcast_threshold
     cands = (
-        mb.join(F.broadcast(db), on=["band_id", "band_hash"])
+        mb.join(F.broadcast(db) if dict_is_small else db, on=["band_id", "band_hash"])
         .select("mention", "entity")
         .distinct()
     )

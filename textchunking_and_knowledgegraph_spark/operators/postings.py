@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import TableIO
@@ -186,7 +186,7 @@ def index_stats(
 
 def tfidf_search(
     postings: DataFrame,
-    query_terms: list[str],
+    query_terms: list[str] | DataFrame,
     *,
     n_docs: int,
     k: int = 10,
@@ -215,10 +215,16 @@ def tfidf_search(
             "index_stats sidecar written by write_postings)"
         )
     spark = postings.sparkSession
-    # dedupe: a repeated query term would double-count tf in the join
-    terms_df = spark.createDataFrame(
-        [(t,) for t in dict.fromkeys(query_terms)], "term string"
-    )
+    if isinstance(query_terms, DataFrame):
+        # distributed term set (e.g. fuzzy_terms output): stays on the
+        # executors end-to-end -- no driver round-trip -- and still
+        # broadcasts (an edit-distance neighborhood is bounded-size)
+        terms_df = query_terms.select("term").distinct()
+    else:
+        # dedupe: a repeated query term would double-count tf in the join
+        terms_df = spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(query_terms)], "term string"
+        )
     dfreq = (
         postings.join(F.broadcast(terms_df), "term")
         .groupBy("term")
@@ -245,7 +251,7 @@ def tfidf_search(
 
 
 def fuzzy_terms(
-    postings: DataFrame, probe: str, max_dist: int = 1
+    postings: DataFrame, probe: str | DataFrame, max_dist: int = 1
 ) -> DataFrame:
     """ES fuzzy-search candidate expansion (`ES_Importer/es_importer.py:62-73`
     runs fuzziness=1 over the indexed content): distinct index terms within
@@ -255,10 +261,25 @@ def fuzzy_terms(
     a tiny fraction of postings), a JVM length prefilter bounds the
     levenshtein evaluations (|len(term) - len(probe)| <= max_dist -- edit
     distance can never beat the length gap), and the survivors are a
-    broadcast-size candidate set for the posting join."""
+    broadcast-size candidate set for the posting join.
+
+    ``probe`` may be a DataFrame with a ``probe`` column (batch expansion):
+    the probe set broadcasts against the term dictionary with the same
+    length band + levenshtein gate, returning (probe, term) pairs -- one
+    dictionary scan no matter how many probes."""
+    terms = postings.select("term").distinct()
+    if isinstance(probe, DataFrame):
+        probes = probe.select("probe").distinct()
+        return (
+            terms.join(
+                F.broadcast(probes),
+                (F.abs(F.length("term") - F.length("probe")) <= max_dist)
+                & (F.levenshtein(F.col("term"), F.col("probe")) <= max_dist),
+            )
+            .select("probe", "term")
+        )
     return (
-        postings.select("term")
-        .distinct()
+        terms
         .filter(F.abs(F.length("term") - F.lit(len(probe))) <= max_dist)
         .filter(F.levenshtein(F.col("term"), F.lit(probe)) <= max_dist)
     )
@@ -275,15 +296,59 @@ def fuzzy_search(
     """Fuzzy retrieval over the posting table: expand ``probe`` to its
     edit-distance neighborhood in the term dictionary, then score the
     matched postings with the same tf-idf ranking as ``tfidf_search``.
-    The expansion term set is broadcast; the scored side reads only the
-    matched terms' postings."""
-    cand = [r["term"] for r in fuzzy_terms(postings, probe, max_dist).collect()]
-    if not cand:
-        spark = postings.sparkSession
-        return spark.createDataFrame(
-            [], "doc_id long, score double, n_terms_matched long"
-        )
-    return tfidf_search(postings, cand, n_docs=n_docs, k=k)
+    The expansion stays a DataFrame end-to-end (broadcast into the posting
+    join) -- no driver collect; an empty neighborhood yields an empty,
+    correctly-typed result through the same plan."""
+    return tfidf_search(
+        postings, fuzzy_terms(postings, probe, max_dist), n_docs=n_docs, k=k
+    )
+
+
+def fuzzy_search_batch(
+    postings: DataFrame,
+    probes: DataFrame,
+    *,
+    n_docs: int,
+    k: int = 10,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Batched fuzzy retrieval: ``probes`` is a DataFrame with a ``probe``
+    column; returns per-probe ranked hits (probe, doc_id, score,
+    n_terms_matched), top-k per probe. One term-dictionary scan and one
+    posting join serve EVERY probe -- the per-query composition would scan
+    the dictionary once per probe.
+
+    Idf uses per-term document frequency exactly as ``tfidf_search``; the
+    per-probe top-k runs as a rank-limited window (WindowGroupLimit:
+    per-partition top-k before the shuffle, no global sort)."""
+    if not isinstance(n_docs, int) or n_docs <= 0:
+        raise ValueError("fuzzy_search_batch requires n_docs > 0")
+    cand = fuzzy_terms(postings, probes, max_dist)  # (probe, term)
+    term_set = cand.select("term").distinct()
+    dfreq = (
+        postings.join(F.broadcast(term_set), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    matched = (
+        postings.join(F.broadcast(cand), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("w", F.col("tf") * idf)
+    )
+    scored = matched.groupBy("probe", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.countDistinct("term").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def read_index(
@@ -305,6 +370,56 @@ def read_index(
             schema = T.StructType.fromJson(ddl)
             return spark.read.schema(schema).parquet(io._path(name))
     return io.read(spark, name)
+
+
+def has_index(io: TableIO, name: str = "postings", spark: SparkSession | None = None) -> bool:
+    """Index-existence probe (`ES_Importer/es_importer.py:33-35`
+    ``has_index`` wraps ``indices.exists``): does the materialized posting
+    table exist? Parquet: the table directory is present (the writer always
+    leaves the ``_index_stats.json`` sidecar or partition dirs). Iceberg:
+    catalog lookup -- no data scan either way."""
+    if io.fmt == "iceberg":
+        if spark is None:
+            raise ValueError("has_index on an iceberg table needs spark")
+        return spark.catalog.tableExists(io._path(name))
+    return os.path.isdir(io._path(name))
+
+
+def has_data(spark: SparkSession, io: TableIO, name: str = "postings") -> bool:
+    """Non-empty probe (`es_importer.py:37-38` ``has_data`` checks
+    ``count > 0``). Prefer the ``index_stats`` sidecar (no scan at all);
+    fall back to an existence-bounded LIMIT 1 -- never a full count."""
+    if not has_index(io, name, spark=spark):
+        return False
+    try:
+        stats = index_stats(io, name, spark=spark)
+        if "n_postings" in stats:
+            return stats["n_postings"] > 0
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    return read_index(spark, io, name).limit(1).count() > 0
+
+
+def delete_index(io: TableIO, name: str = "postings", spark: SparkSession | None = None) -> bool:
+    """Index teardown (`es_importer.py:75-76` ``delete_index``): drop the
+    materialized posting table (+ its stats sidecar). Returns True if
+    something was deleted, False if the index did not exist (the reference
+    raises NotFoundError there; a bool is the composable form for the
+    create-if-missing loops that call this)."""
+    if io.fmt == "iceberg":
+        if spark is None:
+            raise ValueError("delete_index on an iceberg table needs spark")
+        if not spark.catalog.tableExists(io._path(name)):
+            return False
+        spark.sql(f"DROP TABLE {io._path(name)}")
+        return True
+    path = io._path(name)
+    if not os.path.isdir(path):
+        return False
+    import shutil
+
+    shutil.rmtree(path)
+    return True
 
 
 def term_lookup(

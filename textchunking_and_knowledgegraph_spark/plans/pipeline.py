@@ -32,7 +32,7 @@ from ..operators.extract import (
     structural_triples,
     triples_from_facts,
 )
-from ..sources.io import salted_repartition, scan_source
+from ..sources.io import estimate_input_splits, salted_repartition, scan_source
 
 
 @dataclass
@@ -64,9 +64,10 @@ def prepared_source(spark: SparkSession, source, cfg: PipelineConfig | None = No
         # parquet file, small table) would serialize the UDF stages -- salt
         # it up to the session parallelism. Large inputs already have
         # >= parallelism splits, so this is a no-op exactly when the
-        # shuffle would be expensive.
+        # shuffle would be expensive. Split count is estimated from the
+        # input file list -- no plan->RDD probe (see estimate_input_splits).
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if estimate_input_splits(df) < par:
             df = salted_repartition(df, par, cfg.salt_buckets)
     return df
 

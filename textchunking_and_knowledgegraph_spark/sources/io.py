@@ -161,6 +161,23 @@ def scan_source(
     return with_doc_id(with_sha(df))
 
 
+def estimate_input_splits(df: DataFrame) -> int:
+    """Cheap input-split estimate without a plan->RDD conversion (a
+    ``df.rdd.getNumPartitions()`` probe forces an RDD translation on the
+    driver and discards AQE re-optimization of the probed plan). A
+    file-backed source reports its file count. That underestimates splits
+    for multi-row-group files, which only means the caller salts a source
+    Spark could already parallelize (one extra small shuffle) -- never the
+    reverse at scale, where a 100 TB input has far more files than cores.
+    In-memory sources (createDataFrame fixtures) report 1, so small test
+    sources always get the parallelism bump."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1
+    return max(1, len(files))
+
+
 def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
     """Skew-aware repartition before the chunking stage (SURVEY.md 4.2).
 
