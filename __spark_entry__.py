@@ -840,21 +840,33 @@ def graph_multi_hop(spark, sf_dir):
 
 
 def mm_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads -> deterministic fake decode ->
-    typed feature rows via the REAL Arrow-batched mapInPandas operator (only
-    the codec inside is the deterministic stub). Payloads are derived from
-    the parquet documents table (ASCII rows only, so bytes == codepoints)
-    which makes the whole decode DuckDB-expressible: the oracle recomputes
-    width/height/n_frames and the 16-bin byte histogram independently and the
-    driver hash-verifies it. Feature dims are emitted as 16 scalar double
-    columns (array columns crash the driver's pandas canonicalizer); the
-    float32->float64 upcast is bit-exact on both sides (numpy astype(float32)
-    vs DuckDB CAST(.. AS FLOAT)), so no string rounding is involved."""
+    """Multimodal decode -> typed feature rows via the Arrow-batched
+    mapInPandas operator, now through the REAL pure-numpy codecs for image
+    (24-bit BMP) and audio (RIFF/WAVE PCM): each image row carries an actual
+    encoded BMP (constant fill, dims parameterized by doc_id) and each audio
+    row an actual WAV (constant 16-bit sample, length parameterized by
+    doc_id), so the decoded width/height/n_frames/one-hot histogram are pure
+    doc_id arithmetic the DuckDB oracle recomputes WITHOUT decoding --
+    hash equality proves the decoder recovered exactly what was encoded.
+    Video rows keep the deterministic fake decode over the text bytes (no
+    pure-numpy container demuxer exists; multimodal.real_decoder raises
+    there by design) and the oracle replays that byte arithmetic as before.
+    Feature dims are emitted as 16 scalar double columns (array columns
+    crash the driver's pandas canonicalizer); audio width/height are
+    coalesced to 0 so the column stays integral on both engines."""
+    import numpy as np
+    import pandas as pd
+
     from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_wav,
         extract_features,
+        fake_decoder,
+        real_decoder,
     )
 
-    media = (
+    base = (
         _t(spark, sf_dir, "documents")
         .filter(
             (F.col("lang") == "en")
@@ -862,20 +874,48 @@ def mm_features(spark, sf_dir):
             & (F.length("text") >= 4)
         )
         .select(
-            F.col("doc_id").cast("string").alias("media_id"),
+            "doc_id",
             F.element_at(
                 F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                 (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
             ).alias("kind"),
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            "text",
         )
     )
-    feats = extract_features(media)
+    media_cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                did, kind = int(r["doc_id"]), r["kind"]
+                if kind == "image":
+                    px = np.full(
+                        (3 + did % 7, 4 + did % 13, 3), did % 256, dtype=np.uint8
+                    )
+                    payload = encode_bmp(px)
+                elif kind == "audio":
+                    s = np.full(8 + did % 100, did % 65536 - 32768, dtype=np.int16)
+                    payload = encode_wav(s)
+                else:
+                    payload = r["text"].encode("utf-8")
+                rows.append(
+                    {"media_id": str(did), "kind": kind, "mime": None,
+                     "payload": payload, "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=media_cols)
+
+    media = base.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+    def _decoder(payload, kind):
+        return fake_decoder(payload, kind) if kind == "video" else real_decoder(payload, kind)
+
+    feats = extract_features(media, decoder=_decoder)
     return feats.select(
         "media_id",
         "kind",
-        "width",
-        "height",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
         "n_frames",
         *[
             F.element_at("feature", i + 1).cast("double").alias(f"f{i:02d}")
@@ -1913,9 +1953,14 @@ def oracle_sql() -> dict[str, str]:
         # happens in float64 on both sides, is narrowed to float32
         # identically (numpy astype vs CAST AS FLOAT, both IEEE
         # round-to-nearest-even), then upcast exactly to double ---
+        # mm_features: image/audio rows carry REAL encoded BMP/WAV payloads
+        # whose constant fill + dims are pure doc_id arithmetic -- the
+        # oracle recomputes the DECODED values without decoding, so a hash
+        # match proves the numpy codec recovered exactly what was encoded.
+        # Video rows replay the fake-decode byte arithmetic as before.
         "mm_features": """
             WITH src AS (
-              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS media_id,
                      CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'image'
                                                  WHEN 1 THEN 'audio'
                                                  ELSE 'video' END AS kind,
@@ -1924,42 +1969,56 @@ def oracle_sql() -> dict[str, str]:
               WHERE lang = 'en'
                 AND regexp_matches(text, '^[ -~]+$')
                 AND length(text) >= 4
-            ), byt AS (
+            ), vbyt AS (
               SELECT media_id, kind,
                      list_transform(range(1, length(t) + 1),
                                     i -> ascii(substring(t, i, 1))) AS arr
-              FROM src
-            ), agg AS (
-              SELECT media_id, kind, len(arr) AS n,
+              FROM src WHERE kind = 'video'
+            ), vagg AS (
+              SELECT media_id, kind,
                      64 + (list_sum(arr[1:4]) % 512) AS width,
                      64 + (list_sum(arr[len(arr)-3:len(arr)]) % 512) AS height,
-                     CASE WHEN kind = 'image' THEN 1
-                          ELSE 1 + (len(arr) % 32) END AS n_frames,
+                     1 + (len(arr) % 32) AS n_frames,
                      list_transform(range(0, 16),
-                       b -> len(list_filter(arr, x -> x // 16 = b))) AS hist
-              FROM byt
+                       b -> CAST(CAST(CAST(len(list_filter(arr, x -> x // 16 = b))
+                                           AS DOUBLE) / len(arr) AS FLOAT)
+                            AS DOUBLE)) AS feat
+              FROM vbyt
+            ), ia AS (
+              SELECT media_id, kind,
+                     CASE kind
+                       WHEN 'image' THEN 4 + ((doc_id % 13) + 13) % 13
+                       ELSE 0 END AS width,
+                     CASE kind
+                       WHEN 'image' THEN 3 + ((doc_id % 7) + 7) % 7
+                       ELSE 0 END AS height,
+                     CASE kind
+                       WHEN 'image' THEN 1
+                       ELSE 8 + ((doc_id % 100) + 100) % 100 END AS n_frames,
+                     CASE kind
+                       WHEN 'image' THEN (((doc_id % 256) + 256) % 256) // 16
+                       ELSE (((doc_id % 65536) + 65536) % 65536) // 4096
+                     END AS hot
+              FROM src WHERE kind IN ('image', 'audio')
+            ), iagg AS (
+              SELECT media_id, kind, width, height, n_frames,
+                     list_transform(range(0, 16),
+                       b -> CASE WHEN b = hot THEN 1.0 ELSE 0.0 END) AS feat
+              FROM ia
+            ), allrows AS (
+              SELECT * FROM vagg UNION ALL SELECT * FROM iagg
             )
             SELECT media_id, kind,
                    CAST(width AS INTEGER) AS width,
                    CAST(height AS INTEGER) AS height,
                    CAST(n_frames AS INTEGER) AS n_frames,
-                   CAST(CAST(CAST(hist[1] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f00,
-                   CAST(CAST(CAST(hist[2] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f01,
-                   CAST(CAST(CAST(hist[3] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f02,
-                   CAST(CAST(CAST(hist[4] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f03,
-                   CAST(CAST(CAST(hist[5] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f04,
-                   CAST(CAST(CAST(hist[6] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f05,
-                   CAST(CAST(CAST(hist[7] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f06,
-                   CAST(CAST(CAST(hist[8] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f07,
-                   CAST(CAST(CAST(hist[9] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f08,
-                   CAST(CAST(CAST(hist[10] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f09,
-                   CAST(CAST(CAST(hist[11] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f10,
-                   CAST(CAST(CAST(hist[12] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f11,
-                   CAST(CAST(CAST(hist[13] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f12,
-                   CAST(CAST(CAST(hist[14] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f13,
-                   CAST(CAST(CAST(hist[15] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f14,
-                   CAST(CAST(CAST(hist[16] AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f15
-            FROM agg
+                   feat[1] AS f00, feat[2] AS f01, feat[3] AS f02,
+                   feat[4] AS f03, feat[5] AS f04, feat[6] AS f05,
+                   feat[7] AS f06, feat[8] AS f07, feat[9] AS f08,
+                   feat[10] AS f09, feat[11] AS f10, feat[12] AS f11,
+                   feat[13] AS f12, feat[14] AS f13, feat[15] AS f14,
+                   feat[16] AS f15
+            FROM allrows
         """,
         # --- entity linking verified against an exact all-pairs replay:
         # DuckDB computes the char-2gram Jaccard top-1 per mention over the

@@ -153,14 +153,72 @@ def test_mm_features_matches_duckdb_oracle(spark):
             ).all(), c
 
 
-def test_multimodal_strict_decoder_raises(spark):
-    media = synthetic_media(spark, n=3)
+def test_multimodal_strict_decoder_video_raises(spark):
+    """The strict path decodes image/audio for real and stays LOUD on video
+    (no pure-numpy demuxer): a video row must fail, never silently fake."""
+    media = synthetic_media(spark, n=3).filter("kind = 'video'")
     try:
         extract_features(media, decoder=strict_decoder()).collect()
         raised = False
     except Exception as e:  # Py4J wraps the NotImplementedError
-        raised = "NotImplementedError" in str(e) or "real media codecs" in str(e)
+        raised = "NotImplementedError" in str(e) or "demuxer" in str(e)
     assert raised
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """Pure-numpy codecs: encode->decode is the identity for BMP (24-bit,
+    incl. the 4-byte row padding seam), binary PPM/PGM, and PCM WAV (16-bit
+    stereo + mono, odd data-chunk word alignment)."""
+    import numpy as np
+
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(42)
+    for w in (1, 2, 3, 4, 7):  # widths straddling every padding residue
+        img = rng.randint(0, 256, (5, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+    gray = rng.randint(0, 256, (4, 9), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    stereo = rng.randint(-32768, 32768, (101, 2)).astype(np.int16)
+    d, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (d == stereo).all()
+    mono = rng.randint(-32768, 32768, 37).astype(np.int16)
+    d2, _ = decode_wav(encode_wav(mono))
+    assert d2.shape == (37, 1) and (d2[:, 0] == mono).all()
+
+
+def test_multimodal_real_decoder_features():
+    """real_decoder recovers encoded dims exactly; constant-fill payloads
+    give a one-hot L1-normalized histogram in the predicted bin."""
+    import numpy as np
+
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        real_decoder,
+    )
+
+    img = real_decoder(encode_bmp(np.full((3, 4, 3), 200, dtype=np.uint8)), "image")
+    assert (img["width"], img["height"], img["n_frames"]) == (4, 3, 1)
+    assert img["feature"][200 // 16] == 1.0 and sum(img["feature"]) == 1.0
+
+    wav = real_decoder(encode_wav(np.full(55, -32768 + 4096 * 5, dtype=np.int16)), "audio")
+    assert wav["n_frames"] == 55 and wav["width"] is None and wav["height"] is None
+    assert wav["feature"][5] == 1.0 and sum(wav["feature"]) == 1.0
+
+    # corrupt image payloads fail loudly, never misread
+    import pytest
+
+    with pytest.raises(ValueError):
+        real_decoder(b"definitely not an image", "image")
 
 
 def test_sample_frames_shape(spark):

@@ -3,14 +3,19 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample are Arrow-batched ``mapInPandas``
 stages. The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the actual codec step is STUBBED behind
-``decoder=`` because no image/audio library exists in this container --
-``fake_decoder`` is the deterministic stand-in, and passing
-``strict_decoder()`` raises NotImplementedError where a real codec would go.
+shapes) is real and tested.
+
+Codecs: ``real_decoder`` (the ``strict_decoder`` default) is a genuine
+pure-numpy decode for the header-parsable formats -- BMP (24-bit BI_RGB) and
+PPM/PGM binary for images, RIFF/WAVE PCM (8/16-bit) for audio. No external
+codec library is involved. VIDEO remains honestly stubbed: demuxing an mp4
+needs a container library this environment doesn't have, so the strict path
+raises there and ``fake_decoder`` is the deterministic stand-in for tests.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -60,13 +65,183 @@ def fake_decoder(payload: bytes, kind: str) -> dict:
     return {"width": width, "height": height, "n_frames": n_frames, "feature": feat.tolist()}
 
 
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy + struct -- no external library)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit uncompressed (BI_RGB) bottom-up BMP."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp expects HxWx3 RGB")
+    h, w = pixels.shape[:2]
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    stride = row_raw + pad
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_raw] = pixels[::-1, :, ::-1].reshape(h, row_raw)  # bottom-up, BGR
+    data = rows.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP -> HxWx3 uint8 RGB (top-down). Rejects palette /
+    compressed variants explicitly rather than misreading them."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    if len(payload) < offset + stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, np.uint8, stride * h, offset).reshape(h, stride)
+    img = rows[:, :row_raw].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 array -> binary netpbm: HxWx3 -> P6 (PPM), HxW -> P5 (PGM)."""
+    if pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+    elif pixels.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError("encode_ppm expects HxWx3 (P6) or HxW (P5)")
+    h, w = pixels.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P6/P5, maxval 255, '#' comments) -> uint8 array."""
+    if payload is None or len(payload) < 2 or payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    magic = payload[:2]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval=255 netpbm supported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(payload) < pos + need:
+        raise ValueError("truncated netpbm payload")
+    arr = np.frombuffer(payload, np.uint8, need, pos)
+    return arr.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 (n,) or (n, channels) PCM samples -> RIFF/WAVE."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    block = ch * 2
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8-bit unsigned or 16-bit signed) -> (int16 samples of
+    shape (n_frames, channels), sample_rate). Walks the chunk list, so extra
+    chunks (LIST/INFO) are skipped, matching real-world files."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_at = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, body_at)
+        elif cid == b"data":
+            data = payload[body_at:body_at + size]
+        pos = body_at + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or ch < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, channels={ch})")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    n = s.size // ch
+    return s[: n * ch].reshape(n, ch), sample_rate
+
+
+def _hist16_feature(values: np.ndarray) -> list[float]:
+    """16-bin histogram over byte-range values, L1-normalized float32 --
+    the shared feature contract of every decode path."""
+    hist, _ = np.histogram(values, bins=16, range=(0, 256))
+    return (hist / max(1, hist.sum())).astype(np.float32).tolist()
+
+
+def real_decoder(payload: bytes, kind: str) -> dict:
+    """Genuine decode for image (BMP / binary PPM / PGM, sniffed by magic)
+    and audio (RIFF/WAVE PCM). Features: image -> 16-bin histogram of the
+    integer channel-mean luma; audio -> 16-bin histogram of samples mapped
+    to byte range ((s + 32768) >> 8). Video raises: mp4/mkv demuxing needs
+    a container library this environment does not provide."""
+    if kind == "image":
+        if payload is not None and payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            img = decode_ppm(payload)
+        h, w = img.shape[:2]
+        luma = img if img.ndim == 2 else img.astype(np.uint16).sum(axis=2) // 3
+        return {"width": int(w), "height": int(h), "n_frames": 1,
+                "feature": _hist16_feature(luma)}
+    if kind == "audio":
+        samples, _rate = decode_wav(payload)
+        u8 = (samples.astype(np.int32) + 32768) >> 8
+        return {"width": None, "height": None, "n_frames": int(samples.shape[0]),
+                "feature": _hist16_feature(u8)}
+    raise NotImplementedError(
+        f"no pure-numpy demuxer for kind={kind!r}; inject a container-library "
+        "decoder (ffmpeg/PyAV) on a real cluster"
+    )
+
+
 def strict_decoder() -> Callable[[bytes, str], dict]:
-    def _raise(payload: bytes, kind: str) -> dict:
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg/torchaudio) are not available in "
-            "this container; inject one here on a real cluster"
-        )
-    return _raise
+    """The production decode path: real pure-numpy codecs for image/audio,
+    loud failure (NotImplementedError) for video -- never a silent fake."""
+    return real_decoder
 
 
 def extract_features(
