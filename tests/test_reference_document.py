@@ -6,10 +6,12 @@ copied into this repo. Skipped when the reference checkout is absent.
 
 Goldens are derived from intended semantics (SURVEY.md §5.2): an
 independent walk over the document's raw heading lines computes the
-expected 同位/上位 hierarchy (the reference's own tree->triples flatten,
-`Parser/TextBook_LumberChunker.py:381-461`, crashes on self-inflicted
-bugs, so executing it is not an option); P/R >= 0.95 is asserted per
-BASELINE.json."""
+expected 同位/上位 hierarchy; P/R >= 0.95 is asserted per BASELINE.json.
+(The reference chunker itself IS executable with its seams stubbed and its
+book_tree bug patched -- see tests/test_reference_execution.py, which pins
+our chunker against that execution; its own run drops 2/3 of the source
+sentences, so the intended-semantics goldens here remain the correctness
+bar for the tree.)"""
 
 import os
 import re

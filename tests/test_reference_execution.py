@@ -1,0 +1,219 @@
+"""Execute the reference's OWN LumberChunker and pin our chunker against it.
+
+`Parser/TextBook_LumberChunker.py:25-66` is run IN-PROCESS on the reference's
+own test document with its two non-deterministic seams stubbed determinstically
+(no reference code is modified or copied -- the module is imported from the
+read-only checkout and the seams are injected via sys.modules / instance
+attributes):
+
+- the DeepSeek classify call (`_classify_node`, :291-309) -> the engine's
+  heading-keyword heuristic (the same `_QUESTION_TITLE_RE` our chunker uses),
+- spaCy sentence segmentation (`_split_sentences_general`, :326-343) -> the
+  engine's deterministic `split_sentences` (the documented T9 replacement),
+- `self.book_tree` (:28) is aliased to the constructor's `BookTree` (the
+  reference never assigns the lowercase name -- executing verbatim raises
+  AttributeError).
+
+What this pins (ws-insensitive canon = strip ALL whitespace; the reference
+joins sentences with "\\n", our packer with " "):
+
+1. The reference EXECUTES and its output obeys the shared length ceiling.
+2. Boundary equality where the two designs coincide: a standalone knowledge
+   node in the reference's 'OK' band (600..800 chars) is emitted verbatim by
+   the reference (`_chunk_all_nodes` OK path) and must appear as exactly one
+   of our chunks. test.md has exactly one such node.
+3. Whole-chunk agreement count: 7 of the reference's 27 chunks are
+   byte-identical (mod whitespace) to one of ours. Any drift in our
+   absorption/split order changes this number and fails the pin.
+4. NO-CONTENT-LOSS dominance: our stream covers 671/672 source sentences
+   (one straddles a hard-split boundary); the reference's own execution
+   covers only 220/672 -- its iteration caps (`max_iterations`), the `break`s
+   in `_process_child_chapters` (:171-189) and the end-of-walk queue drops
+   lose the rest. The divergence is therefore a deliberate correction, not
+   drift; these exact counts are pinned so either side changing is loud.
+"""
+
+import os
+import queue
+import re
+import sys
+import types
+
+import pytest
+
+from textchunking_and_knowledgegraph_spark.operators.chunker import (
+    _QUESTION_TITLE_RE,
+    chunk_text,
+    parse_sections,
+    split_sentences,
+)
+
+_REF = "/root/reference"
+_TEST_MD = os.path.join(_REF, "test/test.md")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_TEST_MD), reason="reference checkout not present"
+)
+
+
+def _canon(s: str) -> str:
+    return re.sub(r"\s+", "", s)
+
+
+def _run_reference_chunker():
+    """Import and execute the reference LumberChunker with deterministic
+    stubs; returns (flattened [(section_title, chunk_text)], md roots)."""
+    saved_modules = {
+        k: sys.modules.get(k)
+        for k in ("spacy", "openai", "Config", "Config.Settings",
+                  "EntityLinking", "EntityLinking.Entity_Linking",
+                  "Parser", "Parser.MD_section_parser",
+                  "Parser.TextBook_LumberChunker")
+    }
+    sys.path.insert(0, _REF)
+    try:
+        # spaCy -> the engine's deterministic splitter
+        class _Sent:
+            def __init__(self, t):
+                self.text = t
+
+        class _Nlp:
+            def __call__(self, text):
+                return types.SimpleNamespace(
+                    sents=[_Sent(s) for s in split_sentences(text)]
+                )
+
+        spacy = types.ModuleType("spacy")
+        spacy.load = lambda name: _Nlp()
+        sys.modules["spacy"] = spacy
+
+        # DeepSeek classify -> heading-keyword heuristic (shared regex)
+        class _Completions:
+            def create(self, model=None, messages=None, stream=False):
+                prompt = messages[-1]["content"]
+                m = re.search("你觉得“(.*)“这是个知识点的标题吗", prompt, re.DOTALL)
+                title = m.group(1) if m else ""
+                verdict = "0" if _QUESTION_TITLE_RE.search(title) else "1"
+                msg = types.SimpleNamespace(content=verdict)
+                return types.SimpleNamespace(
+                    choices=[types.SimpleNamespace(message=msg)]
+                )
+
+        class _OpenAI:
+            def __init__(self, api_key=None, base_url=None):
+                self.chat = types.SimpleNamespace(completions=_Completions())
+
+        openai = types.ModuleType("openai")
+        openai.OpenAI = _OpenAI
+        sys.modules["openai"] = openai
+
+        setting = types.SimpleNamespace(
+            Designer={"DEEPSEEK": {"API": "stub"},
+                      "Storage": {"Parser": {"Chunked_book": "/tmp"}}},
+            USER={"subject": "Math"},
+        )
+        cfg = types.ModuleType("Config")
+        cfg_settings = types.ModuleType("Config.Settings")
+        cfg_settings.setting = setting
+        cfg_settings.settings = setting
+        sys.modules["Config"] = cfg
+        sys.modules["Config.Settings"] = cfg_settings
+
+        el = types.ModuleType("EntityLinking")
+        el_mod = types.ModuleType("EntityLinking.Entity_Linking")
+        el_mod.Linking = object
+        sys.modules["EntityLinking"] = el
+        sys.modules["EntityLinking.Entity_Linking"] = el_mod
+
+        for k in ("Parser", "Parser.MD_section_parser",
+                  "Parser.TextBook_LumberChunker"):
+            sys.modules.pop(k, None)
+        from Parser.MD_section_parser import MD_parser
+        from Parser.TextBook_LumberChunker import LumberChunker
+
+        roots = MD_parser(_TEST_MD).parse_markdown_to_linked_lists()
+        lc = LumberChunker(roots, "test.md")
+        lc.book_tree = lc.BookTree  # reference bug: lowercase never assigned
+        chunked = lc.lumberchunker()
+
+        flat: list[tuple[str, str]] = []
+
+        def _walk(d):
+            for node, items in d.items():
+                for it in items:
+                    if isinstance(it, dict):
+                        _walk(it)
+                    else:
+                        flat.append((node.title, it))
+
+        for chap_struct in chunked:
+            for ch1, v in chap_struct.items():
+                for sec, lst in v["sections"].items():
+                    for d in lst:
+                        if isinstance(d, dict):
+                            _walk(d)
+                        else:
+                            flat.append((sec.title, d))
+                for c in v["content"]:
+                    flat.append((ch1.title, c))
+        return flat, roots
+    finally:
+        sys.path.remove(_REF)
+        for k, v in saved_modules.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _our_chunks(text: str) -> list[tuple[str, str]]:
+    out = []
+    for sec in parse_sections(text, "test.md"):
+        body = "\n".join(sec.lines)
+        if body.strip():
+            out += [(sec.title, c) for c in chunk_text(body)]
+    return out
+
+
+def test_reference_execution_pins_chunker():
+    with open(_TEST_MD, encoding="utf-8") as f:
+        text = f.read()
+    ref, roots = _run_reference_chunker()
+    ours = _our_chunks(text)
+
+    # 1. the reference executes; shared hard ceiling holds on both streams
+    assert len(ref) == 27 and len(ours) == 89
+    assert max(len(c) for _, c in ref) <= 1000
+    assert max(len(c) for _, c in ours) <= 1000
+
+    # 2. standalone-comparable class: knowledge nodes in the 'OK' band are
+    # emitted verbatim by the reference and must boundary-match ours 1:1
+    ok_nodes = []
+
+    def _collect(n):
+        if not _QUESTION_TITLE_RE.search(n.title) and 600 <= len(n.content) <= 800:
+            ok_nodes.append(n)
+        for c in n.children:
+            _collect(c)
+
+    for r in roots:
+        _collect(r)
+    assert len(ok_nodes) == 1  # test.md fixture shape
+    ours_canon = {_canon(c) for _, c in ours}
+    for n in ok_nodes:
+        assert _canon(n.content) in ours_canon, n.title
+
+    # 3. whole-chunk agreement where the walks coincide
+    agree = sum(1 for _, c in ref if _canon(c) in ours_canon)
+    assert agree == 7
+
+    # 4. no-content-loss dominance, both sides pinned exactly
+    src_sents = set()
+    for sec in parse_sections(text, "test.md"):
+        for s in split_sentences("\n".join(sec.lines)):
+            src_sents.add(_canon(s))
+    blob_ours = "\x00".join(_canon(c) for _, c in ours)
+    blob_ref = "\x00".join(_canon(c) for _, c in ref)
+    assert len(src_sents) == 672
+    assert sum(1 for s in src_sents if s in blob_ours) == 671
+    assert sum(1 for s in src_sents if s in blob_ref) == 220
