@@ -678,6 +678,49 @@ def ann_srp_topk(spark, sf_dir):
     return srp_topk(emb, queries, k=5)
 
 
+def _ivf_fixture() -> tuple[list[tuple[str, list[float]]], list[tuple[str, list[float]]]]:
+    """Exact-arithmetic IVF fixture: 4 well-separated clusters x 4 vectors,
+    dim 4. Every coordinate is a multiple of 0.25 and every possible cluster
+    mean a multiple of 1/64, so ALL of Lloyd's arithmetic (distances, means,
+    the 6-dp round) is exactly representable -- reduction order cannot
+    matter, which is what makes the iterative fit replayable bit-exactly in
+    a SQL oracle."""
+    centers = [
+        ("a", [8.0, 0.0, 0.0, 0.0]),
+        ("b", [0.0, 8.0, 0.0, 0.0]),
+        ("c", [0.0, 0.0, 8.0, 0.0]),
+        ("d", [0.0, 0.0, 0.0, 8.0]),
+    ]
+    offsets = [0.25, -0.25, 0.5, -0.5]
+    corpus = []
+    for ci, (name, ctr) in enumerate(centers):
+        odim = (ci + 1) % 4  # perturb a non-center dim
+        for j, off in enumerate(offsets):
+            v = list(ctr)
+            v[odim] += off
+            corpus.append((f"{name}{j}", v))
+    queries = [("qa", [7.5, 0.0, 0.0, 0.25]), ("qc", [0.25, 0.0, 7.5, 0.0])]
+    return corpus, queries
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN with the Lloyd's fit INSIDE the verified surface:
+    the DuckDB oracle replays the seeded init (md5 draw), all three
+    assignment/update iterations, the probe ranking and the in-cell cosine
+    top-k over the same inlined fixture (see _ivf_oracle_sql). Exactness
+    argument in _ivf_fixture. init_hash='md5' is the oracle opt-in; the
+    corpus-scale default stays xxhash64 (ann.py fit_ivf_centroids)."""
+    from textchunking_and_knowledgegraph_spark.operators.ann import ivf_topk
+
+    corpus_rows, query_rows = _ivf_fixture()
+    corpus = spark.createDataFrame(corpus_rows, "vec_id string, embedding array<double>")
+    queries = spark.createDataFrame(query_rows, "query_id string, embedding array<double>")
+    return ivf_topk(
+        corpus, queries, k=3, n_centroids=4, n_probe=2, n_iters=3,
+        seed=42, init_hash="md5",
+    )
+
+
 def _dict_edges(spark):
     from textchunking_and_knowledgegraph_spark.operators.linking import (
         hierarchy_triples,
@@ -938,7 +981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_pricing_summary": q10_pricing_summary,
         "q11_revenue_by_nation": q11_revenue_by_nation,
         "q12_anti_join": q12_anti_join,
-        "q13_semi_join": q13_semi_join,
+        # q13_semi_join rotated out for ann_ivf_topk (50-entry driver cap):
+        # the left-semi JVM op stays exercised by q33's containment join and
+        # the dedup keeper logic; IVF gives the ANN family an oracle-checked
+        # scale path to complement brute-force q21.
+        "ann_ivf_topk": ann_ivf_topk,
         "q14_top_order_per_cust": q14_top_order_per_cust,
         "q15_top_event_per_user": q15_top_event_per_user,
         "q16_set_ops": q16_set_ops,
@@ -1193,6 +1240,107 @@ def _toc_oracle_sql() -> str:
             FROM rows_out r
             JOIN emitted ch ON ch.doc_id = r.doc_id AND ch.i = r.chap_i
     """
+
+
+def _ivf_oracle_sql(
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    n_iters: int = 3,
+    k: int = 3,
+    seed: int = 42,
+    dim: int = 4,
+) -> str:
+    """DuckDB replay of operators/ann.py ``fit_ivf_centroids`` +
+    ``ivf_topk`` over the inlined exact-arithmetic fixture: the md5 seed
+    draw, each Lloyd's iteration unrolled as assignment (argmin with the
+    (distance, bucket) tie order Spark's array_position(min) implies) and
+    update (6-dp-rounded per-dim mean, empty cluster keeps its previous
+    centroid via COALESCE), then the probe ranking and in-cell cosine
+    top-k. Bit-exact because every intermediate is exactly representable
+    (see _ivf_fixture) and the final cosine uses the q21-proven 6-dp
+    list_dot_product parity."""
+    corpus_rows, query_rows = _ivf_fixture()
+
+    def _vals(rows):
+        return ",\n                  ".join(
+            "('" + i + "', [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+            for i, v in rows
+        )
+
+    def _dist(vec: str, cen: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({vec}[i] - {cen}[i]) * ({vec}[i] - {cen}[i])))"
+        )
+
+    sql = f"""
+            WITH emb(vec_id, e) AS (VALUES
+                  {_vals(corpus_rows)}),
+            qs(query_id, q) AS (VALUES
+                  {_vals(query_rows)}),
+            c0 AS (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY md5(vec_id || '|{seed}'), vec_id) AS INT) - 1
+                       AS bucket,
+                     e AS c
+              FROM emb
+              QUALIFY row_number() OVER (
+                ORDER BY md5(vec_id || '|{seed}'), vec_id) <= {n_centroids}
+            )"""
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        sql += f"""
+            , a{t} AS (
+              SELECT vec_id, e, bucket FROM (
+                SELECT emb.vec_id, emb.e, c{p}.bucket,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY {_dist("e", "c")}, c{p}.bucket) AS rn
+                FROM emb CROSS JOIN c{p}
+              ) WHERE rn = 1
+            ),
+            m{t} AS (
+              SELECT bucket, i AS pos, ROUND(AVG(e[i]), 6) AS m
+              FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) ix
+              GROUP BY bucket, i
+            ),
+            c{t} AS (
+              SELECT prev.bucket, COALESCE(upd.c, prev.c) AS c
+              FROM c{p} prev
+              LEFT JOIN (SELECT bucket, list(m ORDER BY pos) AS c
+                         FROM m{t} GROUP BY bucket) upd USING (bucket)
+            )"""
+    final = f"c{n_iters}"
+    sql += f"""
+            , assigned AS (
+              SELECT vec_id, e, bucket FROM (
+                SELECT emb.vec_id, emb.e, {final}.bucket,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY {_dist("e", "c")}, {final}.bucket) AS rn
+                FROM emb CROSS JOIN {final}
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, q, bucket FROM (
+                SELECT qs.query_id, qs.q, {final}.bucket,
+                       row_number() OVER (PARTITION BY qs.query_id
+                         ORDER BY {_dist("q", "c")}, {final}.bucket) AS rn
+                FROM qs CROSS JOIN {final}
+              ) WHERE rn <= {n_probe}
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     ROUND(list_dot_product(p.q, a.e)
+                           / (sqrt(list_dot_product(p.q, p.q))
+                              * sqrt(list_dot_product(a.e, a.e))), 6) AS cosine
+              FROM assigned a JOIN probes p ON a.bucket = p.bucket
+              WHERE a.vec_id <> p.query_id
+            )
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= {k}
+    """
+    return sql
 
 
 def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str:
@@ -1545,11 +1693,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
-        "q13_semi_join": """
-            SELECT c_custkey, c_acctbal FROM customer c
-            WHERE c_mktsegment = 'BUILDING'
-              AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        """,
+        # IVF-ANN with the Lloyd's fit itself inside the verified surface
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "q14_top_order_per_cust": """
             SELECT o_custkey, o_orderkey,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents

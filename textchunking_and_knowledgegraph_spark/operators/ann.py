@@ -155,6 +155,7 @@ def fit_ivf_centroids(
     n_centroids: int = 16,
     n_iters: int = 3,
     seed: int = 42,
+    init_hash: str = "xxhash64",
 ) -> list[list[float]]:
     """Lloyd's k-means over the corpus, Spark-native: assignment is a JVM
     projection (argmin over literal centroids), the update is ONE
@@ -162,19 +163,24 @@ def fit_ivf_centroids(
     shuffle volume O(n_centroids * dim), independent of corpus size.
 
     Init is deterministic: the n_centroids rows with the smallest
-    xxhash64(id, seed) — a reproducible uniform sample needing no
-    Date/random state. Updated centroid dims are rounded to 6 dp so the
-    model is stable across partial-aggregation orders (float mean is
-    reduction-order-sensitive in the last bits); an empty cluster keeps its
-    previous centroid. The returned model is what a write-time IVF layout
-    would persist next to the table (the index analog of postings'
-    _index_stats.json sidecar)."""
+    hash(id, seed) — a reproducible uniform sample needing no Date/random
+    state. ``init_hash`` picks the draw: native ``xxhash64`` (default,
+    cheap) or ``md5`` so an external SQL oracle can replay the seed choice
+    (same opt-in pattern as graph.random_walk's draw_hash). Updated
+    centroid dims are rounded to 6 dp so the model is stable across
+    partial-aggregation orders (float mean is reduction-order-sensitive in
+    the last bits); an empty cluster keeps its previous centroid. The
+    returned model is what a write-time IVF layout would persist next to
+    the table (the index analog of postings' _index_stats.json sidecar)."""
+    if init_hash == "md5":
+        h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
+    elif init_hash == "xxhash64":
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"init_hash must be 'xxhash64' or 'md5', got {init_hash!r}")
     seeds = (
-        corpus.select(
-            F.col(emb_col).alias("e"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
-        )
-        .orderBy("h")
+        corpus.select(F.col(emb_col).alias("e"), F.col(id_col).alias("i"), h.alias("h"))
+        .orderBy("h", "i")
         .limit(n_centroids)
         .collect()
     )
@@ -206,6 +212,7 @@ def ivf_topk(
     n_iters: int = 3,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    init_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF-bucketed ANN: exact cosine within the ``n_probe`` nearest
     coarse-quantizer cells only — the k-means sibling of ``srp_topk``
@@ -219,7 +226,7 @@ def ivf_topk(
     a per-query corpus scan. Pass ``centroids`` to reuse a fitted model."""
     if centroids is None:
         centroids = fit_ivf_centroids(
-            corpus, emb_col, id_col, n_centroids, n_iters, seed
+            corpus, emb_col, id_col, n_centroids, n_iters, seed, init_hash
         )
     c = _with_ivf_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")),
