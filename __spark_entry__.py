@@ -581,9 +581,23 @@ def kg_chunk_stats(spark, sf_dir):
 
 
 def kg_triples(spark, sf_dir):
-    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_triples
+    """The flagship query, hash-verified via split lineage: the fused
+    Arrow extraction pass (doc_facts -- the only non-SQL stage) is
+    materialized to parquet; DuckDB independently recomputes the ENTIRE
+    downstream triple assembly (span explode, hier/block/content branches,
+    deterministic MERGE dedup) from that parquet. Same plan as
+    plans.pipeline.build_triples with the facts boundary persisted."""
+    from textchunking_and_knowledgegraph_spark.operators.extract import (
+        doc_facts,
+        triples_from_facts,
+    )
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import prepared_source
 
-    return build_triples(spark, _docs_source(spark, sf_dir))
+    facts = _materialize_upstream(
+        doc_facts(prepared_source(spark, _docs_source(spark, sf_dir))),
+        "triples_facts",
+    )
+    return triples_from_facts(facts)
 
 
 def kg_vertices(spark, sf_dir):
@@ -2184,6 +2198,59 @@ def oracle_sql() -> dict[str, str]:
         # /tmp/tckg_split parquet; DuckDB recomputes the relational
         # DOWNSTREAM from the same parquet, independently. The driver runs
         # the Spark side first, so the file is always fresh. ---
+        # the flagship: facts (the one non-SQL stage) persisted, the entire
+        # triple assembly recomputed independently
+        "kg_triples": f"""
+            WITH f AS (
+              SELECT * FROM read_parquet('{_SPLIT_DIR}/triples_facts/*.parquet')
+            ),
+            spans AS (
+              SELECT repo, path, "commit", sha, doc_id, unnest(spans) AS s
+              FROM f
+            ),
+            hier AS (
+              SELECT CASE WHEN s.is_root THEN s.section_title
+                          ELSE s.parent_title END AS subj,
+                     CASE WHEN s.is_root THEN '同位' ELSE '上位' END AS pred,
+                     s.section_title AS obj,
+                     'section' AS subj_type, 'section' AS obj_type,
+                     repo, path, "commit", sha, CAST(NULL AS VARCHAR) AS chunk_id
+              FROM spans WHERE s."level" > 0
+            ),
+            block AS (
+              SELECT CASE WHEN s."level" > 0 THEN s.section_title
+                          ELSE path END AS subj,
+                     CASE WHEN s."level" > 0 THEN '文本块'
+                          ELSE 'contains_chunk' END AS pred,
+                     doc_id || ':' || CAST(s.ord AS VARCHAR) AS obj,
+                     CASE WHEN s."level" > 0 THEN 'section'
+                          ELSE 'file' END AS subj_type,
+                     'chunk' AS obj_type,
+                     repo, path, "commit", sha,
+                     doc_id || ':' || CAST(s.ord AS VARCHAR) AS chunk_id
+              FROM spans
+            ),
+            content AS (
+              SELECT t.subj, t.pred, t.obj, t.subj_type, t.obj_type,
+                     repo, path, "commit", sha, CAST(NULL AS VARCHAR) AS chunk_id
+              FROM (SELECT repo, path, "commit", sha, unnest(trips) AS t FROM f)
+            ),
+            allt AS (
+              SELECT * FROM hier
+              UNION ALL SELECT * FROM block
+              UNION ALL SELECT * FROM content
+            )
+            SELECT subj, pred, obj, subj_type, obj_type, repo, path,
+                   "commit", sha, chunk_id
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY subj, pred, obj, sha
+                ORDER BY subj_type ASC NULLS FIRST, obj_type ASC NULLS FIRST,
+                         repo ASC NULLS FIRST, path ASC NULLS FIRST,
+                         "commit" ASC NULLS FIRST, chunk_id ASC NULLS FIRST
+              ) AS rn FROM allt
+            ) WHERE rn = 1
+        """,
         "kg_chunk_stats": f"""
             WITH chunks AS (
               SELECT repo, lang, char_len

@@ -162,7 +162,7 @@ def canonicalize_triples(
     if extra_alias_edges is not None:
         edges = edges.unionByName(extra_alias_edges.select("src", "dst")).distinct()
     if edges.isEmpty():
-        return _merge_dedup(triples, triples.columns)
+        return merge_dedup(triples, triples.columns)
     mapping = connected_components(edges).select(
         F.col("id").alias("name"), F.col("component").alias("canonical")
     )
@@ -185,10 +185,10 @@ def canonicalize_triples(
         )
         .drop("ocanon")
     )
-    return _merge_dedup(t.select(triples.columns), triples.columns)
+    return merge_dedup(t.select(triples.columns), triples.columns)
 
 
-def _merge_dedup(t: DataFrame, columns: list[str]) -> DataFrame:
+def merge_dedup(t: DataFrame, columns: list[str]) -> DataFrame:
     """Deterministic MERGE dedup on (subj, pred, obj, sha): when
     canonicalization collapses two rows onto the same key, keep the
     lexicographically-smallest attribute tuple (struct-min, nulls first) --

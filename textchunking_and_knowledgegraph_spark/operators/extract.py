@@ -347,11 +347,10 @@ def content_triples(source: DataFrame) -> DataFrame:
 def extract_all_triples(source: DataFrame, chunks: DataFrame) -> DataFrame:
     """Union of structural (G1) and content (G5) triples, deduplicated on the
     canonical key. Dedup is a map-side-combinable aggregation (hash partial)."""
-    return (
-        structural_triples(chunks)
-        .unionByName(content_triples(source))
-        .dropDuplicates(["subj", "pred", "obj", "sha"])
-    )
+    from .canonicalize import merge_dedup
+
+    out = structural_triples(chunks).unionByName(content_triples(source))
+    return merge_dedup(out, out.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -464,8 +463,8 @@ def triples_from_facts(facts: DataFrame) -> DataFrame:
     the upstream mapInPandas once per branch (Catalyst does not dedupe common
     UDF subtrees without an exchange). Instead every document's triples are
     assembled as one array with higher-order functions (transform / filter /
-    concat -- whole-stage codegen) and exploded once; the final
-    dropDuplicates on (subj, pred, obj, sha) also subsumes the per-doc
+    concat -- whole-stage codegen) and exploded once; the final deterministic
+    MERGE dedup on (subj, pred, obj, sha) also subsumes the per-doc
     hierarchy dedup the chunk-table path does separately."""
     null_triple = F.lit(None).cast(
         "struct<subj:string,pred:string,obj:string,"
@@ -522,7 +521,7 @@ def triples_from_facts(facts: DataFrame) -> DataFrame:
     )
 
     hier_struct = F.explode(F.concat(hier, block, content)).alias("e")
-    return (
+    out = (
         facts.select("repo", "path", "commit", "sha", "doc_id", hier_struct)
         .select(
             F.col("e.subj").alias("subj"),
@@ -533,5 +532,11 @@ def triples_from_facts(facts: DataFrame) -> DataFrame:
             F.col("repo"), F.col("path"), F.col("commit"), F.col("sha"),
             F.col("e.chunk_id").alias("chunk_id"),
         )
-        .dropDuplicates(["subj", "pred", "obj", "sha"])
     )
+    # deterministic MERGE dedup (struct-min, nulls first) -- not
+    # dropDuplicates' partitioning-dependent first-seen row; same single
+    # map-side-combinable shuffle, and it makes the assembled triple table
+    # hash-stable for the split-lineage oracle
+    from .canonicalize import merge_dedup
+
+    return merge_dedup(out, out.columns)
