@@ -797,8 +797,14 @@ def kg_add_content(spark, sf_dir):
     """Incremental add-content flow (`AddContent/Update_Content.py:24-59`):
     materialize a graph from half the corpus, then MERGE the other half into
     the persisted output rewriting only affected repo buckets; returns the
-    merged edge table (equal to the one-shot build — pinned by
-    tests/test_add_content.py)."""
+    merged edge table.
+
+    Hash-verified DIFFERENTIALLY: the query also materializes a ONE-SHOT
+    build over the full source (a different code path -- no checkpoint
+    manifest, no bucket rewrite) and the oracle simply reads that parquet,
+    so the driver's hash compare proves incremental-merge == full-rebuild
+    row-for-row (the operator's defining contract, previously pinned only
+    at (subj,pred,obj,sha) granularity by tests/test_add_content.py)."""
     import shutil
     import tempfile
 
@@ -812,6 +818,7 @@ def kg_add_content(spark, sf_dir):
     # split on a column the source shape actually carries -- "doc_id" only
     # resolved through Spark's missing-reference rule (fragile)
     half = F.pmod(F.xxhash64("path"), F.lit(2))
+    _materialize_upstream(build_triples(spark, src), "add_content_oneshot")
     out = tempfile.mkdtemp(prefix="tckg_addc_")
     try:
         materialize_graph(
@@ -2343,6 +2350,14 @@ def oracle_sql() -> dict[str, str]:
                          "commit" ASC NULLS FIRST, chunk_id ASC NULLS FIRST
               ) AS rn FROM canon
             ) WHERE rn = 1
+        """,
+        # differential oracle: the query materializes a one-shot rebuild
+        # through a different code path; hash equality proves the
+        # incremental bucket-merge reconstructs it row-for-row
+        "kg_add_content": f"""
+            SELECT subj, pred, obj, subj_type, obj_type, repo, path,
+                   "commit", sha, chunk_id
+            FROM read_parquet('{_SPLIT_DIR}/add_content_oneshot/*.parquet')
         """,
         "paper_knowledge_edges": f"""
             WITH q AS (
