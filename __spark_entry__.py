@@ -193,14 +193,6 @@ def q12_anti_join(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
-def q13_semi_join(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_acctbal")
-
-
 def q14_top_order_per_cust(spark, sf_dir):
     """W1: argmax top-1 per key with deterministic tie-break."""
     w = Window.partitionBy("o_custkey").orderBy(
