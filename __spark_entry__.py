@@ -45,7 +45,11 @@ def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_as_source(spark, f"{sf_dir}/documents.parquet")
 
 
-_SPLIT_DIR = "/tmp/tckg_split"
+# per-process: the split-lineage oracle SQL strings are generated in the
+# same process that runs the Spark queries, so keying the path by pid makes
+# concurrent sessions (a bench and a contract run on one host) clobber-proof
+# while keeping query-writes and oracle-reads pointed at the same files
+_SPLIT_DIR = f"/tmp/tckg_split_{os.getpid()}"
 
 
 def _materialize_upstream(df: DataFrame, name: str) -> DataFrame:

@@ -219,13 +219,17 @@ def link_entities(
     above ``min_score`` are absent from the result (the reference returns
     'None' -- callers left-join and coalesce).
 
-    Join strategy: dictionaries up to ``broadcast_threshold`` distinct
-    entities broadcast their banded form (one hash join, no exchange of the
-    mention side). Past the threshold -- a 100x dictionary would multiply
-    to bands x entities broadcast rows and OOM every executor -- the join
+    Join strategy: dictionaries up to ``broadcast_threshold`` rows
+    broadcast their banded form (one hash join, no exchange of the mention
+    side). Past the threshold -- a 100x dictionary would multiply to
+    bands x entities broadcast rows and OOM every executor -- the join
     falls back to a shuffle on (band_id, band_hash), which both sides
-    already carry as their natural key. The probe is a LIMIT-bounded count
-    (never scans more than threshold+1 dictionary rows)."""
+    already carry as their natural key. The probe is a genuinely
+    LIMIT-bounded count over the RAW dictionary input (CollectLimit over
+    the scan, never more than threshold+1 rows, no aggregate underneath)
+    -- a small eager job at plan-build time, conservative in the right
+    direction: a dictionary with > threshold raw rows but few distinct
+    entities takes the shuffle path, never the broadcast OOM."""
     if scorer not in ("jaccard", "tfidf_cosine"):
         raise ValueError(f"unknown scorer {scorer!r}")
     rows = n_perm // bands
@@ -239,7 +243,9 @@ def link_entities(
     mb = banded(with_minhash(m, "mention", n_perm), bands, rows)
     db = banded(with_minhash(d, "entity", n_perm), bands, rows)
 
-    dict_is_small = d.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    dict_is_small = (
+        dictionary.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    )
     cands = (
         mb.join(F.broadcast(db) if dict_is_small else db, on=["band_id", "band_hash"])
         .select("mention", "entity")

@@ -188,6 +188,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack_from("<HHIIHH", payload, body_at)
         elif cid == b"data":
+            if body_at + size > len(payload):
+                # reject-loudly contract, same as the image codecs: a size
+                # field past the payload end is corruption, not fewer frames
+                raise ValueError("truncated WAV payload")
             data = payload[body_at:body_at + size]
         pos = body_at + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:

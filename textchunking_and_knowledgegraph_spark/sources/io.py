@@ -167,10 +167,15 @@ def estimate_input_splits(df: DataFrame) -> int:
     driver and discards AQE re-optimization of the probed plan). A
     file-backed source reports its file count. That underestimates splits
     for multi-row-group files, which only means the caller salts a source
-    Spark could already parallelize (one extra small shuffle) -- never the
-    reverse at scale, where a 100 TB input has far more files than cores.
-    In-memory sources (createDataFrame fixtures) report 1, so small test
-    sources always get the parallelism bump."""
+    Spark could already parallelize (one extra small shuffle); at scale a
+    100 TB input has far more files than cores, so the guard is a no-op
+    there. In-memory sources (createDataFrame fixtures) report 1, so small
+    test sources always get the parallelism bump.
+
+    Contract note: the estimate reflects the SCAN, not downstream
+    repartitioning -- a caller who explicitly coalesce()/repartition()s
+    their input keeps that choice (the guard won't second-guess an
+    intentional layout the way an RDD partition-count probe would)."""
     try:
         files = df.inputFiles()
     except Exception:
