@@ -67,3 +67,37 @@ def test_canonicalize_triples_maps_endpoints(spark):
     # chunk object untouched
     tb = [r for r in out if r.pred == "文本块"][0]
     assert tb.obj == "d:0"
+
+
+def test_merge_dedup_deterministic_and_partitioning_invariant(spark):
+    """merge_dedup must pick the SAME surviving row (struct-min over the
+    non-key columns, nulls first) under any partitioning -- the property
+    dropDuplicates lacked, and the one the split-lineage hash oracles
+    depend on."""
+    from textchunking_and_knowledgegraph_spark.operators.canonicalize import (
+        merge_dedup,
+    )
+
+    cols = ["subj", "pred", "obj", "subj_type", "obj_type",
+            "repo", "path", "commit", "sha", "chunk_id"]
+    rows = [
+        # same (subj,pred,obj,sha) key, three attribute variants incl. a
+        # NULL that must win (nulls first) and a tie-break on chunk_id
+        ("a", "p", "b", None, "t2", "r", "x", "c1", "s1", "k9"),
+        ("a", "p", "b", "t1", "t2", "r", "x", "c1", "s1", "k1"),
+        ("a", "p", "b", None, "t2", "r", "x", "c1", "s1", "k2"),
+        ("z", "p", "b", "t", "t", "r", "y", "c1", "s2", None),
+    ]
+    schema = ", ".join(f"{c} string" for c in cols)
+
+    def run(n_parts):
+        df = spark.createDataFrame(rows, schema).repartition(n_parts)
+        return sorted(tuple(r) for r in merge_dedup(df, cols).collect())
+
+    first = run(1)
+    assert run(7) == first and run(32) == first
+    keyed = {r[0]: r for r in first}
+    # nulls-first struct-min: the NULL subj_type variant wins, and among
+    # the two NULL rows the smaller chunk_id breaks the tie
+    assert keyed["a"][3] is None and keyed["a"][9] == "k2"
+    assert len(first) == 2
