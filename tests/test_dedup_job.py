@@ -1,0 +1,93 @@
+"""The --dedup job surface: source table -> (id, keeper, keep) decisions ->
+parquet, plus the optional keep-only source rewrite. Exercises all three
+strategies through run_dedup (the exact code path the CLI calls)."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from textchunking_and_knowledgegraph_spark.job import run_dedup
+
+
+def _source(spark):
+    """6 docs: two byte-identical pairs (exact dups), one near-dup of doc a
+    (shared long prefix), one unique."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby "
+    ) * 6
+    rows = [
+        ("r1", "a.txt", "c1", "text", base),
+        ("r1", "b.txt", "c1", "text", base),  # exact dup of a
+        ("r1", "c.txt", "c1", "text", base + "one extra closing sentence."),  # near-dup
+        ("r2", "d.txt", "c1", "text", "completely different content here."),
+        ("r2", "e.txt", "c1", "text", "completely different content here."),  # exact dup of d
+        ("r2", "f.txt", "c1", "text", "a unique document with its own words."),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def _decisions(spark, out):
+    return {
+        r.id: (r.keeper, r.keep)
+        for r in spark.read.parquet(f"{out}/dedup_decisions").collect()
+    }
+
+
+def test_dedup_job_exact(spark):
+    out = tempfile.mkdtemp(prefix="tckg_dedup_ex_")
+    try:
+        stats = run_dedup(spark, _source(spark), out, strategy="exact")
+        d = _decisions(spark, out)
+        assert stats["docs"] == 6 and len(d) == 6
+        # byte-identical groups collapse to their min id; near-dup c survives
+        assert d["r1:a.txt@c1"] == ("r1:a.txt@c1", True)
+        assert d["r1:b.txt@c1"] == ("r1:a.txt@c1", False)
+        assert d["r1:c.txt@c1"][1] is True
+        assert d["r2:e.txt@c1"] == ("r2:d.txt@c1", False)
+        assert stats["duplicates_dropped"] == 2
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_job_minhash_and_rewrite(spark):
+    out = tempfile.mkdtemp(prefix="tckg_dedup_mh_")
+    try:
+        stats = run_dedup(
+            spark, _source(spark), out, strategy="minhash", write_deduped=True
+        )
+        d = _decisions(spark, out)
+        assert len(d) == 6
+        # the near-dup cluster {a, b, c} collapses to min id a
+        for doc in ("r1:a.txt@c1", "r1:b.txt@c1", "r1:c.txt@c1"):
+            assert d[doc][0] == "r1:a.txt@c1"
+        assert d["r1:a.txt@c1"][1] is True and d["r1:c.txt@c1"][1] is False
+        assert d["r2:f.txt@c1"] == ("r2:f.txt@c1", True)
+        assert stats["duplicates_dropped"] == 3
+        # the keep-only rewrite holds exactly the keeper rows, full schema
+        kept = spark.read.parquet(f"{out}/deduped")
+        assert sorted(r.path for r in kept.collect()) == ["a.txt", "d.txt", "f.txt"]
+        assert set(kept.columns) == {"repo", "path", "commit", "lang", "content"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_job_simhash(spark):
+    out = tempfile.mkdtemp(prefix="tckg_dedup_sh_")
+    try:
+        stats = run_dedup(spark, _source(spark), out, strategy="simhash")
+        d = _decisions(spark, out)
+        assert len(d) == 6
+        # simhash certainly catches the hamming-0 (byte-identical) groups
+        assert d["r1:b.txt@c1"] == ("r1:a.txt@c1", False)
+        assert d["r2:e.txt@c1"] == ("r2:d.txt@c1", False)
+        assert stats["kept"] + stats["duplicates_dropped"] == 6
+        # every keeper is itself kept (cluster representative invariant)
+        keepers = {k for k, _ in d.values()}
+        for k in keepers:
+            assert d[k][1] is True
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

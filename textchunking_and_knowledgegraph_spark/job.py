@@ -39,6 +39,75 @@ def docs_as_source(spark, path: str):
     )
 
 
+def run_dedup(
+    spark,
+    source,
+    output: str,
+    strategy: str = "minhash",
+    threshold: float = 0.7,
+    write_deduped: bool = False,
+) -> dict:
+    """Corpus-curation flow: source table -> per-document (id, keeper, keep)
+    decisions -> parquet. The document identity is (repo:path@commit) -- the
+    same identity the KG uses -- so decisions join back to ANY downstream
+    table. Pair strategies are the bucketed scale paths (never all-pairs):
+    exact = sha groupBy, minhash = banded LSH + verify, simhash = banded
+    hamming; near-dup pairs collapse to clusters via connected components
+    (min-label, pointer jumping) and each cluster keeps its min id."""
+    from .operators.dedup import (
+        dedup_decisions,
+        exact_dedup,
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+
+    corpus = source.select(
+        F.concat_ws(
+            "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
+        ).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    if strategy == "exact":
+        d = exact_dedup(corpus, "doc_id", "text")
+        keepers = d.filter("keep").select(
+            F.col("sha").alias("_sha"), F.col("id").alias("keeper")
+        )
+        decisions = d.join(keepers, d.sha == keepers._sha).select(
+            "id", "keeper", "keep"
+        )
+    else:
+        if strategy == "minhash":
+            pairs = minhash_near_dups(corpus, "doc_id", "text", threshold=threshold)
+        else:
+            pairs = simhash_near_dups(corpus, "doc_id", "text")
+        decisions = dedup_decisions(corpus, pairs, id_col="doc_id")
+
+    decisions.write.mode("overwrite").parquet(f"{output}/dedup_decisions")
+    decisions = spark.read.parquet(f"{output}/dedup_decisions")
+    n_docs = decisions.count()
+    n_keep = decisions.filter("keep").count()
+    stats = {
+        "strategy": strategy,
+        "docs": n_docs,
+        "kept": n_keep,
+        "duplicates_dropped": n_docs - n_keep,
+        "output": f"{output}/dedup_decisions",
+    }
+    if write_deduped:
+        keep_ids = decisions.filter("keep").select("id")
+        deduped = source.join(
+            keep_ids,
+            F.concat_ws(
+                "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
+            )
+            == F.col("id"),
+            "left_semi",
+        )
+        deduped.write.mode("overwrite").parquet(f"{output}/deduped")
+        stats["deduped"] = f"{output}/deduped"
+    return stats
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--source", required=True, help="source table path / iceberg name")
@@ -58,6 +127,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental mode (`AddContent/Update_Content.py:24-59`): "
                          "MERGE the source into the EXISTING graph at --output, "
                          "rewriting only affected repo buckets")
+    ap.add_argument("--dedup", default=None,
+                    choices=["exact", "minhash", "simhash"],
+                    help="training-data curation mode: compute per-document "
+                         "keep/drop decisions over the source (exact sha "
+                         "groups, MinHash-LSH near-dups, or SimHash) and "
+                         "write <output>/dedup_decisions; no KG build")
+    ap.add_argument("--dedup-threshold", type=float, default=0.7,
+                    help="minhash Jaccard threshold (ignored by exact/simhash)")
+    ap.add_argument("--write-deduped", action="store_true",
+                    help="with --dedup: also write the keep=true source rows "
+                         "to <output>/deduped")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
@@ -83,6 +163,19 @@ def main(argv: list[str] | None = None) -> int:
         source = spark.read.schema(SOURCE_SCHEMA).parquet(args.source)
 
     t0 = time.time()
+
+    if args.dedup:
+        if not args.output:
+            ap.error("--dedup requires --output (decisions directory)")
+        stats = run_dedup(
+            spark, source, args.output,
+            strategy=args.dedup,
+            threshold=args.dedup_threshold,
+            write_deduped=args.write_deduped,
+        )
+        stats["seconds"] = round(time.time() - t0, 2)
+        print(json.dumps(stats))
+        return 0
 
     if args.add_content:
         if not args.output:
