@@ -849,7 +849,11 @@ def graph_label_prop(spark, sf_dir):
 
 def textbook_question_table(spark, sf_dir):
     """F4/T7/F6/A8: exercise-question extraction over the chunk table of a
-    deterministic textbook fixture."""
+    deterministic textbook fixture. Hash-verified via split lineage: the
+    chunk table (non-SQL upstream) is materialized to parquet; DuckDB
+    independently recomputes the WHOLE question extraction -- the exercise
+    filter, T1 translate + dot respacing, the numbered-question regexp
+    split + posexplode, and the option-marker stem/body split."""
     from textchunking_and_knowledgegraph_spark.operators.textbook_questions import (
         textbook_questions,
     )
@@ -866,7 +870,8 @@ def textbook_question_table(spark, sf_dir):
         [("books", "math/b1.md", "c1", "markdown", book)],
         "repo string, path string, commit string, lang string, content string",
     )
-    return textbook_questions(build_chunks(spark, src))
+    chunks = _materialize_upstream(build_chunks(spark, src), "textbook_chunks")
+    return textbook_questions(chunks)
 
 
 _TOC_BOOK = (
@@ -2346,6 +2351,61 @@ def oracle_sql() -> dict[str, str]:
                          "commit" ASC NULLS FIRST, chunk_id ASC NULLS FIRST
               ) AS rn FROM canon
             ) WHERE rn = 1
+        """,
+        # split-lineage: the chunker output persists; DuckDB recomputes the
+        # whole question extraction (exercise filter, T1 translate + dot
+        # respacing, numbered split + posexplode, option stem/body split).
+        # Parity notes: the split whitespace class is spelled explicitly
+        # (Java \\s includes \\x0B, RE2's does not); the option-marker
+        # position uses a (?s) lazy-prefix extract (RE2 has no regexp_instr)
+        # which equals Spark's regexp_instr because both scan from the
+        # string start for the FIRST match.
+        "textbook_question_table": f"""
+            WITH c AS (
+              SELECT * FROM read_parquet('{_SPLIT_DIR}/textbook_chunks/*.parquet')
+            ),
+            ex AS (
+              SELECT doc_id,
+                     COALESCE(parent_title, section_title) AS chapter,
+                     section_title,
+                     regexp_replace(
+                       regexp_replace(
+                         translate(text, '．（）', '.()'), '\\.', '. ', 'g'),
+                       '\\.  ', '. ', 'g') AS body
+              FROM c WHERE section_kind = 'question'
+            ),
+            parts AS (
+              SELECT doc_id, chapter, section_title,
+                     regexp_split_to_array(
+                       body, '[0-9]+[.、][ \t\n\x0b\f\r]*') AS arr
+              FROM ex
+            ),
+            exploded AS (
+              SELECT * FROM (
+                SELECT doc_id, chapter, section_title,
+                       CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS q_ord,
+                       unnest(arr) AS question_raw
+                FROM parts)
+              WHERE length(trim(question_raw)) > 0
+            ),
+            opted AS (
+              SELECT *,
+                     CASE WHEN regexp_matches(question_raw,
+                            '\\(1\\)|\\(2\\)|\\(3\\)|\\(4\\)|[ABCD]\\. ')
+                          THEN length(regexp_extract(question_raw,
+                            '(?s)^(.*?)(\\(1\\)|\\(2\\)|\\(3\\)|\\(4\\)|[ABCD]\\. )',
+                            1)) + 1
+                          ELSE 0 END AS opt_idx
+              FROM exploded
+            )
+            SELECT doc_id, chapter, section_title, q_ord,
+                   trim(CASE WHEN opt_idx > 1
+                             THEN substring(question_raw, 1, opt_idx - 1)
+                             ELSE question_raw END) AS question_text,
+                   trim(CASE WHEN opt_idx > 0
+                             THEN substring(question_raw, opt_idx)
+                             ELSE question_raw END) AS question
+            FROM opted
         """,
         # differential oracle: the query materializes a one-shot rebuild
         # through a different code path; hash equality proves the
