@@ -168,3 +168,63 @@ def test_hierarchy_edge_count_is_linear_in_path_length(spark):
         want = {(a, b) for p in paths for a, b in zip(p, p[1:])}
         assert got == want
         assert len(got) <= sum(len(p) - 1 for p in paths)
+
+
+# round-4 codecs: encode->decode identity over arbitrary pixel/sample data
+
+from hypothesis import given as _given_codec
+from hypothesis import settings as _settings_codec
+from hypothesis import strategies as _st_codec
+from hypothesis.extra import numpy as _hnp
+
+
+@_settings_codec(deadline=None, max_examples=40)
+@_given_codec(
+    _hnp.arrays(
+        dtype="uint8",
+        shape=_st_codec.tuples(
+            _st_codec.integers(1, 9), _st_codec.integers(1, 9), _st_codec.just(3)
+        ),
+    )
+)
+def test_bmp_roundtrip_property(img):
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@_settings_codec(deadline=None, max_examples=40)
+@_given_codec(
+    _hnp.arrays(
+        dtype="uint8",
+        shape=_st_codec.tuples(_st_codec.integers(1, 9), _st_codec.integers(1, 9)),
+    )
+)
+def test_pgm_roundtrip_property(gray):
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+
+
+@_settings_codec(deadline=None, max_examples=40)
+@_given_codec(
+    _hnp.arrays(
+        dtype="int16",
+        shape=_st_codec.tuples(_st_codec.integers(1, 200), _st_codec.integers(1, 3)),
+    ),
+    _st_codec.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    out, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and out.shape == samples.shape and (out == samples).all()
