@@ -217,3 +217,146 @@ def test_reference_execution_pins_chunker():
     assert len(src_sents) == 672
     assert sum(1 for s in src_sents if s in blob_ours) == 671
     assert sum(1 for s in src_sents if s in blob_ref) == 220
+
+
+def _run_reference_paper_parser(md_path: str):
+    """Import and execute the reference GENERAL_parser
+    (`Parser/md_paper_parser.py:319-410`) with deterministic stubs. Seams
+    injected (no reference code modified): Config/openai/requests/jieba/
+    sklearn module stubs; EntityLinking raises (the reference already
+    catches that and records None); the LLM-backfill iterrows loop is
+    skipped by a DataFrame subclass -- executing it verbatim crashes on the
+    reference's own `row['knowledges']` KeyError (the column is named
+    'entity'), and it only backfills LLM output anyway."""
+    import pandas as pd
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in ("requests", "jieba", "sklearn", "sklearn.feature_extraction",
+                  "sklearn.feature_extraction.text", "sklearn.metrics",
+                  "sklearn.metrics.pairwise", "openai", "Config",
+                  "Config.Settings", "EntityLinking",
+                  "EntityLinking.Entity_Linking", "Parser",
+                  "Parser.md_paper_parser")
+    }
+    sys.path.insert(0, _REF)
+    try:
+        for name in ("requests", "jieba"):
+            sys.modules[name] = types.ModuleType(name)
+        sk = types.ModuleType("sklearn")
+        fe = types.ModuleType("sklearn.feature_extraction")
+        fet = types.ModuleType("sklearn.feature_extraction.text")
+        fet.TfidfVectorizer = object
+        mets = types.ModuleType("sklearn.metrics")
+        mpp = types.ModuleType("sklearn.metrics.pairwise")
+        mpp.cosine_similarity = lambda *a, **k: None
+        sys.modules.update({
+            "sklearn": sk, "sklearn.feature_extraction": fe,
+            "sklearn.feature_extraction.text": fet,
+            "sklearn.metrics": mets, "sklearn.metrics.pairwise": mpp,
+        })
+        openai = types.ModuleType("openai")
+        openai.OpenAI = lambda **k: None
+        sys.modules["openai"] = openai
+        setting = types.SimpleNamespace(
+            Designer={
+                "DIFY": {"DIFY_USER": "u", "DIFY_URL": "http://stub",
+                         "DIFY_ENG_Paper_Parser_API": "k",
+                         "DIFY_GEO_Paper_Parser_API": "k"},
+                "DEEPSEEK": {"API": "k"},
+                "Storage": {"Parser": {"Chunked_paper": "/tmp/tckg_refpaper_out"}},
+            },
+            USER={"subject": "Math"},
+        )
+        cfg = types.ModuleType("Config")
+        cs = types.ModuleType("Config.Settings")
+        cs.setting = cs.settings = setting
+        sys.modules["Config"] = cfg
+        sys.modules["Config.Settings"] = cs
+
+        el = types.ModuleType("EntityLinking")
+        elm = types.ModuleType("EntityLinking.Entity_Linking")
+
+        class _Linking:
+            def link_question_with_entity(self, q):
+                raise RuntimeError("no LLM in tests")
+
+        elm.Linking = _Linking()
+        sys.modules["EntityLinking"] = el
+        sys.modules["EntityLinking.Entity_Linking"] = elm
+
+        sys.modules.pop("Parser.md_paper_parser", None)
+        import Parser.md_paper_parser as M
+
+        class _DF(pd.DataFrame):
+            def iterrows(self):
+                return iter(())
+
+            def to_csv(self, *a, **k):
+                pass
+
+        old_pd = M.pd
+        M.pd = types.SimpleNamespace(DataFrame=_DF)
+        try:
+            df = M.PaperParser(md_path, "t.pdf").GENERAL_parser()
+        finally:
+            M.pd = old_pd
+        return list(zip(df["question_text"], df["questions"], df["analysis"]))
+    finally:
+        sys.path.remove(_REF)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _pcanon(s: str) -> str:
+    """Paper-parity canon: strip whitespace AND fold the fullwidth comma --
+    our paper-path T1 translate is a deliberate SUPERSET of the reference's
+    3-char table (`md_paper_parser.py:325-330` maps only ．（）; ours also
+    folds ，), so comparisons fold it on both sides."""
+    return _canon(s).replace("，", ",")
+
+
+def test_reference_paper_parser_execution_pins_paper_operator(spark, tmp_path):
+    """Run the reference's GENERAL_parser on the driver's own exam-paper
+    fixture and pin our paper operator against that execution, question by
+    question. The two intended divergences are part of the pin: (a) our T7
+    explodes the subjective question's ### sub-questions into one row each
+    (the reference keeps the block whole), so ref yields 2 questions and
+    ours 3 rows per paper; (b) the reference's 【答案】..## capture keeps
+    the 【解析】 block and any trailing heading inside 'analysis' -- our T5
+    splits answer/analysis apart, so ours must embed in the ref capture."""
+    import __spark_entry__ as entrymod
+
+    papers = entrymod._paper_source(spark).collect()
+    ours_all = entrymod.paper_questions(spark, "unused").toPandas()
+
+    checked = 0
+    for row in papers:
+        md = tmp_path / (row.path.replace("/", "_") + ".md")
+        md.write_text(row.content, encoding="utf-8")
+        ref = _run_reference_paper_parser(str(md))
+        ours = ours_all[ours_all["path"] == row.path].sort_values("q_index")
+        assert len(ref) == 2 and len(ours) == 3  # T7 explode accounts for +1
+
+        # choice question: the reference's stem (lines before the option
+        # line) is a prefix of our question row, the option body its suffix
+        r_text, r_body, r_ana = ref[0]
+        o = ours.iloc[0]
+        assert _pcanon(o["question_text"]).startswith(_pcanon(r_text))
+        assert _pcanon(r_body) in _pcanon(o["question_text"])
+        assert _pcanon(r_ana).startswith(_pcanon(o["answer"]))
+        assert _pcanon(o["analysis"]) in _pcanon(r_ana)
+
+        # subjective question: both our sub-question rows share the ref's
+        # stem, and their texts are contained in the ref's ### body block
+        r_text, r_body, r_ana = ref[1]
+        for o in (ours.iloc[1], ours.iloc[2]):
+            assert _pcanon(o["question_text"]) == _pcanon(r_text)
+            assert _pcanon(o["question"]) in _pcanon(r_body)
+            assert _pcanon(r_ana).startswith(_pcanon(o["answer"]))
+            assert _pcanon(o["analysis"]) in _pcanon(r_ana)
+        checked += 1
+    assert checked == 8
