@@ -360,3 +360,106 @@ def test_reference_paper_parser_execution_pins_paper_operator(spark, tmp_path):
             assert _pcanon(o["analysis"]) in _pcanon(r_ana)
         checked += 1
     assert checked == 8
+
+
+def _run_reference_textbook_questions(md_path: str):
+    """Import and execute the reference's exercise-question chunker
+    (`Parser/Chunking_TextBook_Questions.py:20-117`) with deterministic
+    stubs: Config/requests module stubs, EntityLinking returning a constant
+    (raising would trigger the reference's `continue`, which drops EVERY
+    question), and the per-section Dify LLM call patched to a constant
+    answer/analysis pair (only the SPLITS are under test)."""
+    saved = {
+        k: sys.modules.get(k)
+        for k in ("requests", "Config", "Config.Settings", "EntityLinking",
+                  "EntityLinking.Entity_Linking", "Parser",
+                  "Parser.MD_section_parser",
+                  "Parser.Chunking_TextBook_Questions")
+    }
+    sys.path.insert(0, _REF)
+    try:
+        sys.modules["requests"] = types.ModuleType("requests")
+        setting = types.SimpleNamespace(
+            Designer={
+                "DIFY": {"DIFY_TextBook_Question_Answer": "k",
+                         "DIFY_USER": "u", "DIFY_URL": "http://stub"},
+                "Storage": {"Parser": {"Chunked_book": "/tmp/tckg_reftbq_out"}},
+            },
+            USER={"subject": "Math"},
+        )
+        cfg = types.ModuleType("Config")
+        cs = types.ModuleType("Config.Settings")
+        cs.setting = cs.settings = setting
+        sys.modules["Config"] = cfg
+        sys.modules["Config.Settings"] = cs
+        el = types.ModuleType("EntityLinking")
+        elm = types.ModuleType("EntityLinking.Entity_Linking")
+
+        class _Linking:
+            def link_question_with_entity(self, q):
+                return "stub-entity"
+
+        elm.Linking = _Linking()
+        sys.modules["EntityLinking"] = el
+        sys.modules["EntityLinking.Entity_Linking"] = elm
+
+        for k in ("Parser", "Parser.MD_section_parser",
+                  "Parser.Chunking_TextBook_Questions"):
+            sys.modules.pop(k, None)
+        from Parser.Chunking_TextBook_Questions import TextBookQuestion
+        from Parser.MD_section_parser import MD_parser
+
+        roots = MD_parser(md_path).parse_markdown_to_linked_lists()
+        tb = TextBookQuestion(roots, "b.pdf")
+        tb.Dify_structuring = lambda section: ("A", "ok")
+        df = tb.Question_Chunking()
+        return list(zip(df["Question_text"], df["Question"]))
+    finally:
+        sys.path.remove(_REF)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+_TB_BOOK = (
+    "# 第一章 集合\n集合是数学的基本概念。本节介绍集合的表示方法。\n"
+    "## 练习\n1．求下列集合的并集。\n(1) A={1,2} (2) B={2,3}\n"
+    "2．判断下列说法是否正确。\n集合的元素具有互异性。\n"
+    "## 1.2 集合的运算\n交集与并集满足交换律。\n"
+    "## 复习题\n3．证明德摩根定律。\nA. 正确 B. 错误\n"
+)
+
+
+def test_reference_textbook_questions_execution_pins_operator(spark, tmp_path):
+    """Execute the reference question chunker on the driver's textbook
+    fixture and pin our textbook_questions operator against it. The
+    reference's own execution keeps only the LAST question node per chapter
+    (its `df_list.append` sits outside the node loop) plus an empty
+    preamble row -- so it emits 1 real question where the document has 3;
+    ours emits all 3. The surviving question must match ours exactly
+    (ws-canon stem and option body)."""
+    from textchunking_and_knowledgegraph_spark.operators.textbook_questions import (
+        textbook_questions,
+    )
+    from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
+
+    md = tmp_path / "book.md"
+    md.write_text(_TB_BOOK, encoding="utf-8")
+    ref = _run_reference_textbook_questions(str(md))
+    ref_real = [(t, b) for t, b in ref if _canon(t)]
+    # last-node-only + empty-preamble behavior of the reference, pinned
+    assert len(ref) == 2 and len(ref_real) == 1
+
+    src = spark.createDataFrame(
+        [("books", "math/b1.md", "c1", "markdown", _TB_BOOK)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ours = textbook_questions(build_chunks(spark, src)).toPandas()
+    assert len(ours) == 3  # no content loss: both exercise sections kept
+
+    r_text, r_body = ref_real[0]
+    match = ours[ours["question_text"].map(_canon) == _canon(r_text)]
+    assert len(match) == 1
+    assert _canon(match.iloc[0]["question"]) == _canon(r_body)
