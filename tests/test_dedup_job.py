@@ -91,3 +91,93 @@ def test_dedup_job_simhash(spark):
             assert d[k][1] is True
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _corpus_of(spark, rows):
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def test_incremental_dedup_exact(spark):
+    """Exact store: a second batch curates in O(new) -- known shas map to
+    the OLD keeper, fresh shas group among themselves, old decisions are
+    immutable."""
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_documents,
+        write_dedup_store,
+    )
+
+    out = tempfile.mkdtemp(prefix="tckg_incex_")
+    try:
+        b1 = _corpus_of(spark, [("a", "same text"), ("b", "same text"), ("c", "solo")])
+        write_dedup_store(spark, b1, out, strategy="exact")
+        before = {r.id: (r.keeper, r.keep)
+                  for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert before == {"a": ("a", True), "b": ("a", False), "c": ("c", True)}
+
+        b2 = _corpus_of(spark, [
+            ("d", "same text"),      # exact dup of the OLD a/b cluster
+            ("e", "fresh text"), ("f", "fresh text"),  # new-new exact pair
+            ("g", "unique"),
+        ])
+        stats = add_documents(spark, out, b2)
+        assert stats["new_docs"] == 4 and stats["new_duplicates_dropped"] == 2
+
+        after = {r.id: (r.keeper, r.keep)
+                 for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert {k: after[k] for k in before} == before  # immutability
+        assert after["d"] == ("a", False)
+        assert after["e"] == ("e", True) and after["f"] == ("e", False)
+        assert after["g"] == ("g", True)
+
+        # a third batch repeating the batch-2 sha joins ITS cluster
+        add_documents(spark, out, _corpus_of(spark, [("h", "fresh text")]))
+        final = {r.id: (r.keeper, r.keep)
+                 for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert final["h"] == ("e", False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_dedup_minhash(spark):
+    """Minhash store: new near-dups of old docs join the OLD cluster's
+    keeper even when the new id sorts smaller (first-seen-wins), new-new
+    clusters elect their min id, and untouched new docs keep themselves."""
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_documents,
+        write_dedup_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby "
+    ) * 6
+    other = (
+        "completely different words describing an entirely distinct topic "
+        "with no overlapping shingles whatsoever in this standalone text "
+    ) * 6
+    out = tempfile.mkdtemp(prefix="tckg_incmh_")
+    try:
+        b1 = _corpus_of(spark, [("m1", base), ("m2", base + "tail sentence."),
+                                ("m3", other)])
+        write_dedup_store(spark, b1, out, strategy="minhash")
+        before = {r.id: (r.keeper, r.keep)
+                  for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert before["m1"] == ("m1", True) and before["m2"] == ("m1", False)
+
+        b2 = _corpus_of(spark, [
+            ("a0", base + "slightly varied ending."),  # near-dup of OLD m1 cluster
+            ("n1", other + "extra line one."),         # near-dup of OLD m3
+            ("z1", "totally unrelated fresh document with its own content."),
+        ])
+        stats = add_documents(spark, out, b2, old_corpus=b1)
+        assert stats["new_docs"] == 3
+
+        after = {r.id: (r.keeper, r.keep)
+                 for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert {k: after[k] for k in before} == before  # immutability
+        # a0 < m1 lexicographically, but first-seen-wins: keeper stays m1
+        assert after["a0"] == ("m1", False)
+        assert after["n1"] == ("m3", False)
+        assert after["z1"] == ("z1", True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

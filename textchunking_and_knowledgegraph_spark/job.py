@@ -39,6 +39,17 @@ def docs_as_source(spark, path: str):
     )
 
 
+def _curation_corpus(source):
+    """(id, text) curation projection: document identity (repo:path@commit)
+    -- the same identity the KG uses, so decisions join back anywhere."""
+    return source.select(
+        F.concat_ws(
+            "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
+        ).alias("id"),
+        F.col("content").alias("text"),
+    )
+
+
 def run_dedup(
     spark,
     source,
@@ -48,51 +59,37 @@ def run_dedup(
     write_deduped: bool = False,
 ) -> dict:
     """Corpus-curation flow: source table -> per-document (id, keeper, keep)
-    decisions -> parquet. The document identity is (repo:path@commit) -- the
-    same identity the KG uses -- so decisions join back to ANY downstream
-    table. Pair strategies are the bucketed scale paths (never all-pairs):
-    exact = sha groupBy, minhash = banded LSH + verify, simhash = banded
-    hamming; near-dup pairs collapse to clusters via connected components
-    (min-label, pointer jumping) and each cluster keeps its min id."""
-    from .operators.dedup import (
-        dedup_decisions,
-        exact_dedup,
-        minhash_near_dups,
-        simhash_near_dups,
-    )
+    decisions -> parquet. Pair strategies are the bucketed scale paths
+    (never all-pairs): exact = sha groupBy, minhash = banded LSH + verify,
+    simhash = banded hamming; near-dup pairs collapse to clusters via
+    connected components (min-label, pointer jumping) and each cluster
+    keeps its min id. exact/minhash also persist the incremental store
+    (plans/incremental_dedup.py) so later batches curate in O(new)."""
+    from .operators.dedup import dedup_decisions, simhash_near_dups
+    from .plans.incremental_dedup import write_dedup_store
 
-    corpus = source.select(
-        F.concat_ws(
-            "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
-        ).alias("doc_id"),
-        F.col("content").alias("text"),
-    )
-    if strategy == "exact":
-        d = exact_dedup(corpus, "doc_id", "text")
-        keepers = d.filter("keep").select(
-            F.col("sha").alias("_sha"), F.col("id").alias("keeper")
+    corpus = _curation_corpus(source)
+    if strategy in ("exact", "minhash"):
+        stats = write_dedup_store(
+            spark, corpus, output, strategy=strategy, threshold=threshold
         )
-        decisions = d.join(keepers, d.sha == keepers._sha).select(
-            "id", "keeper", "keep"
-        )
+        stats["output"] = f"{output}/dedup_decisions"
+        stats.pop("store", None)
+        decisions = spark.read.parquet(f"{output}/dedup_decisions")
     else:
-        if strategy == "minhash":
-            pairs = minhash_near_dups(corpus, "doc_id", "text", threshold=threshold)
-        else:
-            pairs = simhash_near_dups(corpus, "doc_id", "text")
-        decisions = dedup_decisions(corpus, pairs, id_col="doc_id")
-
-    decisions.write.mode("overwrite").parquet(f"{output}/dedup_decisions")
-    decisions = spark.read.parquet(f"{output}/dedup_decisions")
-    n_docs = decisions.count()
-    n_keep = decisions.filter("keep").count()
-    stats = {
-        "strategy": strategy,
-        "docs": n_docs,
-        "kept": n_keep,
-        "duplicates_dropped": n_docs - n_keep,
-        "output": f"{output}/dedup_decisions",
-    }
+        pairs = simhash_near_dups(corpus, "id", "text")
+        decisions = dedup_decisions(corpus, pairs, id_col="id")
+        decisions.write.mode("overwrite").parquet(f"{output}/dedup_decisions")
+        decisions = spark.read.parquet(f"{output}/dedup_decisions")
+        n_docs = decisions.count()
+        n_keep = decisions.filter("keep").count()
+        stats = {
+            "strategy": strategy,
+            "docs": n_docs,
+            "kept": n_keep,
+            "duplicates_dropped": n_docs - n_keep,
+            "output": f"{output}/dedup_decisions",
+        }
     if write_deduped:
         keep_ids = decisions.filter("keep").select("id")
         deduped = source.join(
@@ -138,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--write-deduped", action="store_true",
                     help="with --dedup: also write the keep=true source rows "
                          "to <output>/deduped")
+    ap.add_argument("--old-source", default=None,
+                    help="with --dedup --add-content (minhash): the prior "
+                         "corpus table -- candidate verification reads old "
+                         "text selectively by id join, never a full pass")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
@@ -167,12 +168,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup:
         if not args.output:
             ap.error("--dedup requires --output (decisions directory)")
-        stats = run_dedup(
-            spark, source, args.output,
-            strategy=args.dedup,
-            threshold=args.dedup_threshold,
-            write_deduped=args.write_deduped,
-        )
+        if args.add_content:
+            from .plans.incremental_dedup import add_documents
+
+            old = None
+            if args.old_source:
+                old = _curation_corpus(
+                    docs_as_source(spark, args.old_source)
+                    if args.docs_table
+                    else spark.read.schema(SOURCE_SCHEMA).parquet(args.old_source)
+                )
+            stats = add_documents(
+                spark, args.output, _curation_corpus(source), old_corpus=old
+            )
+        else:
+            stats = run_dedup(
+                spark, source, args.output,
+                strategy=args.dedup,
+                threshold=args.dedup_threshold,
+                write_deduped=args.write_deduped,
+            )
         stats["seconds"] = round(time.time() - t0, 2)
         print(json.dumps(stats))
         return 0

@@ -1,0 +1,320 @@
+"""Incremental corpus curation: dedup NEW documents against a persisted
+store -- the ``--add-content`` analog for training-data curation. At 100 TB
+the corpus grows in batches; recomputing dedup over everything per batch is
+O(corpus) per ingest, while this flow is O(new batch) signature work plus
+candidate joins against the (compact) signature store.
+
+Store layout under ``<store>/``:
+  dedup_decisions/      (id, keeper, keep)      every document ever seen
+  sigs/                 (id, sig array<long>)   minhash strategy only
+  exact_keeper/         (sha, keeper)           exact strategy only
+  _dedup_params.json    strategy + minhash parameters (validated on add)
+
+Semantics -- first-seen-wins, the standard streaming-curation contract:
+  * existing decisions are IMMUTABLE: a new document can join an existing
+    cluster (keep=False, keeper = that cluster's keeper) but never changes
+    which old document is kept;
+  * a new document near-dup of TWO existing clusters joins the one with the
+    smaller keeper; the old clusters are NOT merged (a batch recompute
+    would merge them -- an accepted, tested divergence of incremental
+    curation);
+  * new-new clusters among unmatched documents elect their min id, exactly
+    as the batch path does.
+
+Scale shape of ``add_documents`` (minhash): signatures run over the NEW
+batch only (Arrow UDF); candidate generation is an equi-join of the new
+band keys against old+new band keys with the same oversized-bucket star cap
+as the batch operator; the signature prefilter keeps Python off all but
+near-threshold pairs; exact verification reads OLD text selectively -- a
+join of the surviving candidate ids back into the caller-supplied old
+corpus, never a full old-corpus pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _shingle_jaccard,
+    dedup_decisions,
+    exact_dedup,
+    minhash_near_dups,
+    with_minhash_shingles,
+)
+from ..operators.linking import banded
+
+_PARAMS = "_dedup_params.json"
+
+
+def _write_params(store: str, params: dict) -> None:
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, _PARAMS), "w") as f:
+        json.dump(params, f)
+
+
+def read_params(store: str) -> dict:
+    with open(os.path.join(store, _PARAMS)) as f:
+        return json.load(f)
+
+
+def _exact_decisions(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(decisions [id, keeper, keep], keeper map [sha, keeper])."""
+    d = exact_dedup(corpus, "id", "text")
+    keepers = d.filter("keep").select(F.col("sha"), F.col("id").alias("keeper"))
+    decisions = d.join(keepers, "sha").select("id", "keeper", "keep")
+    return decisions, keepers
+
+
+def write_dedup_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store: str,
+    strategy: str = "minhash",
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> dict:
+    """Full dedup of ``corpus`` (id, text) + persist the incremental store.
+    Returns counting stats. The decisions parquet is the curation output;
+    the sigs / exact_keeper tables are what ``add_documents`` joins new
+    batches against."""
+    if strategy == "exact":
+        decisions, keepers = _exact_decisions(corpus)
+        keepers.write.mode("overwrite").parquet(f"{store}/exact_keeper")
+    elif strategy == "minhash":
+        sigs = with_minhash_shingles(corpus, "text", n_perm).localCheckpoint(
+            eager=True
+        )
+        sigs.select("id", "sig").write.mode("overwrite").parquet(f"{store}/sigs")
+        pairs = minhash_near_dups(
+            corpus, "id", "text", threshold=threshold, n_perm=n_perm,
+            bands=bands, max_bucket=max_bucket,
+        )
+        decisions = dedup_decisions(corpus, pairs, id_col="id")
+    else:
+        raise ValueError(f"unsupported incremental strategy {strategy!r}")
+    decisions.write.mode("overwrite").parquet(f"{store}/dedup_decisions")
+    _write_params(store, {
+        "strategy": strategy, "threshold": threshold,
+        "n_perm": n_perm, "bands": bands, "max_bucket": max_bucket,
+    })
+    decisions = spark.read.parquet(f"{store}/dedup_decisions")
+    n = decisions.count()
+    kept = decisions.filter("keep").count()
+    return {"strategy": strategy, "docs": n, "kept": kept,
+            "duplicates_dropped": n - kept, "store": store}
+
+
+def _new_minhash_edges(
+    spark: SparkSession,
+    store: str,
+    new_corpus: DataFrame,
+    old_corpus: DataFrame,
+    p: dict,
+) -> DataFrame:
+    """Verified near-dup edges touching the new batch: (new-new) pairs and
+    (new-old) pairs, with old endpoints already mapped to their cluster
+    keeper. Columns: (src, dst)."""
+    n_perm, bands = p["n_perm"], p["bands"]
+    rows = n_perm // bands
+    threshold, max_bucket = p["threshold"], p["max_bucket"]
+
+    new_sigs = with_minhash_shingles(
+        new_corpus, "text", n_perm
+    ).localCheckpoint(eager=True)
+    old_sigs = spark.read.parquet(f"{store}/sigs").withColumn("is_new", F.lit(False))
+    all_sigs = new_sigs.select("id", "sig").withColumn(
+        "is_new", F.lit(True)
+    ).unionByName(old_sigs)
+
+    bd = banded(all_sigs, bands, rows).select("id", "is_new", "band_id", "band_hash")
+    bd_new = bd.filter("is_new")
+    bucket_sizes = (
+        bd.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"), F.min("id").alias("bucket_rep"))
+        .localCheckpoint(eager=True)
+    )
+    small_keys = bucket_sizes.filter(F.col("bsz") <= max_bucket).select(
+        "band_id", "band_hash"
+    )
+    quad = (
+        bd_new.select("band_id", "band_hash", F.col("id").alias("id_a"))
+        .join(small_keys, ["band_id", "band_hash"])
+        .join(
+            bd.select("band_id", "band_hash", F.col("id").alias("id_b")),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    star = (
+        bd_new.join(
+            F.broadcast(
+                bucket_sizes.filter(F.col("bsz") > max_bucket)
+                .select("band_id", "band_hash", "bucket_rep")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("id") != F.col("bucket_rep"))
+        .select(
+            F.least("id", "bucket_rep").alias("id_a"),
+            F.greatest("id", "bucket_rep").alias("id_b"),
+        )
+    )
+    pairs = quad.unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+    # signature prefilter (JVM), then exact verify with text fetched
+    # selectively: new text from the batch, old text by joining the
+    # surviving ids back into the caller-supplied old corpus
+    sig_map = all_sigs.select("id", "sig")
+    joined = (
+        pairs.join(
+            sig_map.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig_map.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+    )
+    sig_sim = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(n_perm))
+    survivors = joined.filter(sig_sim >= threshold - 0.2).select("id_a", "id_b")
+
+    texts = new_corpus.select("id", "text").unionByName(
+        old_corpus.select("id", "text")
+    )
+    verified = (
+        survivors.join(
+            texts.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # map OLD endpoints to their cluster keeper (old decisions immutable)
+    old_map = spark.read.parquet(f"{store}/dedup_decisions").select(
+        F.col("id").alias("old_id"), F.col("keeper").alias("old_keeper")
+    )
+    e = (
+        verified.join(old_map.withColumnRenamed("old_id", "id_a"), "id_a", "left")
+        .withColumn("src", F.coalesce("old_keeper", "id_a"))
+        .drop("old_keeper")
+        .join(old_map.withColumnRenamed("old_id", "id_b"), "id_b", "left")
+        .withColumn("dst", F.coalesce("old_keeper", "id_b"))
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return e
+
+
+def add_documents(
+    spark: SparkSession,
+    store: str,
+    new_corpus: DataFrame,
+    old_corpus: DataFrame | None = None,
+) -> dict:
+    """Incrementally curate ``new_corpus`` (id, text) against the store.
+    Appends the new decisions (and new signatures / sha keepers) to the
+    store and returns stats. ``old_corpus`` is required for the minhash
+    strategy (exact verification reads old text selectively)."""
+    p = read_params(store)
+
+    if p["strategy"] == "exact":
+        new = new_corpus.select(
+            "id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("sha")
+        ).localCheckpoint(eager=True)
+        old_map = spark.read.parquet(f"{store}/exact_keeper")
+        hit = new.join(old_map, "sha").select(
+            "id", "keeper", F.lit(False).alias("keep")
+        )
+        miss = new.join(old_map, "sha", "left_anti")
+        miss_groups = miss.groupBy("sha").agg(F.min("id").alias("keeper"))
+        miss_dec = miss.join(miss_groups, "sha").select(
+            "id", "keeper", (F.col("id") == F.col("keeper")).alias("keep")
+        )
+        decisions_new = hit.unionByName(miss_dec).localCheckpoint(eager=True)
+        miss_groups.select("sha", "keeper").write.mode("append").parquet(
+            f"{store}/exact_keeper"
+        )
+    elif p["strategy"] == "minhash":
+        if old_corpus is None:
+            raise ValueError(
+                "minhash add_documents needs old_corpus (selective text "
+                "reads for candidate verification)"
+            )
+        edges = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
+        from ..operators.canonicalize import connected_components
+
+        new_ids = new_corpus.select("id")
+        old_keepers = (
+            spark.read.parquet(f"{store}/dedup_decisions")
+            .filter("keep")
+            .select(F.col("id").alias("kid"))
+        )
+        if edges.isEmpty():
+            decisions_new = new_ids.select(
+                "id", F.col("id").alias("keeper"), F.lit(True).alias("keep")
+            ).localCheckpoint(eager=True)
+        else:
+            comp = connected_components(edges)  # (id, component)
+            # component keeper: the min OLD keeper if any member is one
+            # (first-seen-wins), else the component min (== CC label)
+            old_in_comp = (
+                comp.join(old_keepers, comp.id == old_keepers.kid)
+                .groupBy("component")
+                .agg(F.min("kid").alias("old_keeper"))
+            )
+            comp_keeper = (
+                comp.groupBy("component")
+                .agg(F.min("id").alias("comp_min"))
+                .join(old_in_comp, "component", "left")
+                .select(
+                    "component",
+                    F.coalesce("old_keeper", "comp_min").alias("ckeeper"),
+                )
+            )
+            labeled = comp.join(comp_keeper, "component").select(
+                F.col("id"), F.col("ckeeper")
+            )
+            decisions_new = (
+                new_ids.join(labeled, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("ckeeper", F.col("id")).alias("keeper"),
+                    (F.coalesce("ckeeper", F.col("id")) == F.col("id")).alias("keep"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        with_minhash_shingles(new_corpus, "text", p["n_perm"]).select(
+            "id", "sig"
+        ).write.mode("append").parquet(f"{store}/sigs")
+    else:
+        raise ValueError(f"unsupported incremental strategy {p['strategy']!r}")
+
+    decisions_new.write.mode("append").parquet(f"{store}/dedup_decisions")
+    n = decisions_new.count()
+    kept = decisions_new.filter("keep").count()
+    return {
+        "strategy": p["strategy"],
+        "new_docs": n,
+        "new_kept": kept,
+        "new_duplicates_dropped": n - kept,
+        "store": store,
+    }
