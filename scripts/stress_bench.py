@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from scaling_bench import INPUT, ensure_input  # noqa: E402
 
-ALL_STAGES = ["exact", "simhash", "minhash", "decisions", "pipeline", "postings", "linking"]
+ALL_STAGES = ["exact", "simhash", "minhash", "decisions", "pipeline", "postings",
+              "linking", "incdedup"]
 
 
 def main() -> int:
@@ -133,6 +134,39 @@ def main() -> int:
         run("linking", lambda: {
             "links": link_entities(mentions, dictionary, min_score=0.5).count()
         })
+
+    if "incdedup" in stages:
+        # the O(new) claim measured: build the store over ~90% of the
+        # corpus once, then curate the remaining ~10% incrementally --
+        # the add step should cost a small fraction of the store build
+        from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+            add_documents,
+            write_dedup_store,
+        )
+
+        half = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+        old = docs.filter(half != 0).select(F.col("doc_id").alias("id"), "text")
+        new = docs.filter(half == 0).select(F.col("doc_id").alias("id"), "text")
+        store = tempfile.mkdtemp(prefix="tckg_stress_inc_")
+
+        def _inc():
+            try:
+                t0 = time.time()
+                write_dedup_store(spark, old, store, "minhash", threshold=0.9)
+                build_s = round(time.time() - t0, 1)
+                t1 = time.time()
+                stats = add_documents(spark, store, new, old_corpus=old)
+                add_s = round(time.time() - t1, 1)
+                return {
+                    "store_build_seconds": build_s,
+                    "add_seconds": add_s,
+                    "new_docs": stats["new_docs"],
+                    "new_drops": stats["new_duplicates_dropped"],
+                }
+            finally:
+                shutil.rmtree(store, ignore_errors=True)
+
+        run("incdedup", _inc)
 
     print(json.dumps({"metric": "stress_1p28M", "docs": n_docs, "stages": results}))
     return 0

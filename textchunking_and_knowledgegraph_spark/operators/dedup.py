@@ -130,6 +130,50 @@ def with_minhash_shingles(
     return df.withColumn("sig", _sig(F.col(text_col)))
 
 
+def signatures_with_collapse(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = 64
+) -> DataFrame:
+    """Eagerly-checkpointed (id, text, sig) signature table.
+
+    Exact-dup pre-collapse (adaptive): signatures only need to run once
+    per DISTINCT text -- on duplicate-heavy corpora (boilerplate/template
+    replicas, the common web-scale case) the dominant UDF cost drops by
+    the duplication factor, and identical texts get identical signatures
+    so downstream pair output is UNCHANGED. The collapse costs a
+    fingerprint groupBy + join-back shuffle, so it is only taken when a
+    cheap column-pruned md5 cardinality probe shows >5% duplication; a
+    near-unique corpus keeps the direct single-pass path.
+
+    Checkpoint rationale: the signature UDF feeds the band self-join AND
+    two sig-lookup joins -- without a materialization barrier Catalyst
+    re-executes the Python stage once per branch. EAGER: a lazy
+    localCheckpoint truncates lineage mid-job, and straggler task
+    completions then report against unregistered accumulators
+    ("non-existent accumulator" DAGScheduler noise, round-1 bench tail)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if estimate_input_splits(base) < par:
+        base = base.repartition(par, "id")
+    n_total, n_distinct = base.select(
+        F.count("*"),
+        F.approx_count_distinct(F.md5(F.coalesce("text", F.lit("")))),
+    ).first()
+    if n_distinct < 0.95 * n_total:
+        fp = base.withColumn("fp", F.md5(F.coalesce("text", F.lit(""))))
+        rep_sigs = with_minhash_shingles(
+            fp.select("fp", "text").groupBy("fp").agg(F.first("text").alias("text")),
+            "text",
+            n_perm,
+        ).select("fp", "sig")
+        return (
+            fp.join(rep_sigs, "fp")
+            .select("id", "text", "sig")
+            .localCheckpoint(eager=True)
+        )
+    return with_minhash_shingles(base, "text", n_perm).localCheckpoint(eager=True)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,6 +183,7 @@ def minhash_near_dups(
     bands: int = 16,
     max_bucket: int = 200,
     sig_margin: float = 0.2,
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs [id_a < id_b, jaccard >= threshold].
 
@@ -167,43 +212,14 @@ def minhash_near_dups(
         exact per-pair verify UDF, so Python touches near-final pairs only.
     """
     rows = n_perm // bands
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    if estimate_input_splits(base) < par:
-        base = base.repartition(par, "id")
-    # Exact-dup pre-collapse (adaptive): signatures only need to run once
-    # per DISTINCT text -- on duplicate-heavy corpora (boilerplate/template
-    # replicas, the common web-scale case) the dominant UDF cost drops by
-    # the duplication factor, and identical texts get identical signatures
-    # so the pair output is UNCHANGED. The collapse costs a fingerprint
-    # groupBy + join-back shuffle, so it is only taken when a cheap
-    # column-pruned md5 cardinality probe shows >5% duplication; a
-    # near-unique corpus keeps the direct single-pass path.
-    n_total, n_distinct = base.select(
-        F.count("*"),
-        F.approx_count_distinct(F.md5(F.coalesce("text", F.lit("")))),
-    ).first()
-    # checkpoint: the signature UDF feeds the band self-join AND two
-    # sig-lookup joins -- without a materialization barrier Catalyst
-    # re-executes the Python stage once per branch. EAGER: a lazy
-    # localCheckpoint truncates lineage mid-job, and straggler task
-    # completions then report against unregistered accumulators
-    # ("non-existent accumulator" DAGScheduler noise, round-1 bench tail).
-    if n_distinct < 0.95 * n_total:
-        fp = base.withColumn("fp", F.md5(F.coalesce("text", F.lit(""))))
-        rep_sigs = with_minhash_shingles(
-            fp.select("fp", "text").groupBy("fp").agg(F.first("text").alias("text")),
-            "text",
-            n_perm,
-        ).select("fp", "sig")
-        sigs = (
-            fp.join(rep_sigs, "fp")
-            .select("id", "text", "sig")
-            .localCheckpoint(eager=True)
-        )
+    if precomputed_sigs is not None:
+        # caller already materialized (id, text, sig) -- e.g. the
+        # incremental-dedup store build, which persists the signatures
+        # anyway; recomputing them here would double the dominant UDF cost
+        # AND hold two checkpointed signature copies in memory at once
+        sigs = precomputed_sigs.select("id", "text", "sig")
     else:
-        sigs = with_minhash_shingles(base, "text", n_perm).localCheckpoint(eager=True)
+        sigs = signatures_with_collapse(df, id_col, text_col, n_perm)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
 
     # skew cap: oversized buckets skip the quadratic self-join and emit

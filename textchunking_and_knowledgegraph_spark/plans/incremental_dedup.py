@@ -43,7 +43,7 @@ from ..operators.dedup import (
     dedup_decisions,
     exact_dedup,
     minhash_near_dups,
-    with_minhash_shingles,
+    signatures_with_collapse,
 )
 from ..operators.linking import banded
 
@@ -87,13 +87,15 @@ def write_dedup_store(
         decisions, keepers = _exact_decisions(corpus)
         keepers.write.mode("overwrite").parquet(f"{store}/exact_keeper")
     elif strategy == "minhash":
-        sigs = with_minhash_shingles(corpus, "text", n_perm).localCheckpoint(
-            eager=True
-        )
+        # ONE signature pass (collapse-aware, checkpointed) serves both the
+        # persisted store and the pair computation -- recomputing inside
+        # minhash_near_dups would double the dominant UDF cost and hold two
+        # checkpointed signature copies at peak
+        sigs = signatures_with_collapse(corpus, "id", "text", n_perm)
         sigs.select("id", "sig").write.mode("overwrite").parquet(f"{store}/sigs")
         pairs = minhash_near_dups(
             corpus, "id", "text", threshold=threshold, n_perm=n_perm,
-            bands=bands, max_bucket=max_bucket,
+            bands=bands, max_bucket=max_bucket, precomputed_sigs=sigs,
         )
         decisions = dedup_decisions(corpus, pairs, id_col="id")
     else:
@@ -116,17 +118,17 @@ def _new_minhash_edges(
     new_corpus: DataFrame,
     old_corpus: DataFrame,
     p: dict,
-) -> DataFrame:
-    """Verified near-dup edges touching the new batch: (new-new) pairs and
-    (new-old) pairs, with old endpoints already mapped to their cluster
-    keeper. Columns: (src, dst)."""
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, new_sigs): verified near-dup edges touching the new batch --
+    (new-new) pairs and (new-old) pairs with old endpoints already mapped
+    to their cluster keeper, columns (src, dst) -- plus the new batch's
+    checkpointed signature table so the caller appends it to the store
+    without a second UDF pass."""
     n_perm, bands = p["n_perm"], p["bands"]
     rows = n_perm // bands
     threshold, max_bucket = p["threshold"], p["max_bucket"]
 
-    new_sigs = with_minhash_shingles(
-        new_corpus, "text", n_perm
-    ).localCheckpoint(eager=True)
+    new_sigs = signatures_with_collapse(new_corpus, "id", "text", n_perm)
     old_sigs = spark.read.parquet(f"{store}/sigs").withColumn("is_new", F.lit(False))
     all_sigs = new_sigs.select("id", "sig").withColumn(
         "is_new", F.lit(True)
@@ -221,7 +223,7 @@ def _new_minhash_edges(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return e
+    return e, new_sigs
 
 
 def add_documents(
@@ -259,7 +261,7 @@ def add_documents(
                 "minhash add_documents needs old_corpus (selective text "
                 "reads for candidate verification)"
             )
-        edges = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
+        edges, new_sigs = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
         from ..operators.canonicalize import connected_components
 
         new_ids = new_corpus.select("id")
@@ -302,9 +304,7 @@ def add_documents(
                 )
                 .localCheckpoint(eager=True)
             )
-        with_minhash_shingles(new_corpus, "text", p["n_perm"]).select(
-            "id", "sig"
-        ).write.mode("append").parquet(f"{store}/sigs")
+        new_sigs.select("id", "sig").write.mode("append").parquet(f"{store}/sigs")
     else:
         raise ValueError(f"unsupported incremental strategy {p['strategy']!r}")
 
