@@ -247,7 +247,12 @@ def add_documents(
             "id", "keeper", F.lit(False).alias("keep")
         )
         miss = new.join(old_map, "sha", "left_anti")
-        miss_groups = miss.groupBy("sha").agg(F.min("id").alias("keeper"))
+        # eager: the append below writes INTO the exact_keeper dir this
+        # plan reads (the left_anti scan) -- materialize before writing
+        miss_groups = (
+            miss.groupBy("sha").agg(F.min("id").alias("keeper"))
+            .localCheckpoint(eager=True)
+        )
         miss_dec = miss.join(miss_groups, "sha").select(
             "id", "keeper", (F.col("id") == F.col("keeper")).alias("keep")
         )
