@@ -20,7 +20,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from .plans.pipeline import PipelineConfig, build_triples, build_vertices
+from .plans.pipeline import PipelineConfig, build_triples
 from .session import build_session
 from .sources.io import SOURCE_SCHEMA
 
