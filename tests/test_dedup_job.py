@@ -181,3 +181,76 @@ def test_incremental_dedup_minhash(spark):
         assert after["z1"] == ("z1", True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_minhash_requires_cumulative_old_corpus(spark):
+    """A third batch whose near-dup lives in the SECOND batch must fail
+    loudly when old_corpus only covers the first -- the coverage guard
+    raises instead of silently keeping a true near-duplicate; passing the
+    cumulative prior corpus curates it correctly."""
+    import pytest
+
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_documents,
+        write_dedup_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby "
+    ) * 6
+    other = (
+        "completely different words describing an entirely distinct topic "
+        "with no overlapping shingles whatsoever in this standalone text "
+    ) * 6
+    out = tempfile.mkdtemp(prefix="tckg_inccov_")
+    try:
+        b1 = _corpus_of(spark, [("m1", base)])
+        b2 = _corpus_of(spark, [("q1", other)])
+        b3 = _corpus_of(spark, [("r1", other + "tiny suffix.")])  # ~= q1 (batch 2!)
+        write_dedup_store(spark, b1, out, strategy="minhash")
+        add_documents(spark, out, b2, old_corpus=b1)
+
+        with pytest.raises(ValueError, match="cumulative"):
+            add_documents(spark, out, b3, old_corpus=b1)  # b2 missing
+
+        add_documents(spark, out, b3, old_corpus=b1.unionByName(b2))
+        d = {r.id: (r.keeper, r.keep)
+             for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert d["r1"] == ("q1", False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_cli_validations(spark, tmp_path):
+    """The CLI rejects incoherent incremental requests upfront: simhash has
+    no store; --add-content against a non-store errors; strategy mismatch
+    against an existing store errors."""
+    import pytest
+
+    from textchunking_and_knowledgegraph_spark.job import main
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "some text", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+    store = str(tmp_path / "store")
+
+    for argv in (
+        ["--source", docs, "--docs-table", "--output", store,
+         "--dedup", "simhash", "--add-content"],
+        ["--source", docs, "--docs-table", "--output", store,
+         "--dedup", "minhash", "--add-content"],  # store doesn't exist yet
+        ["--source", docs, "--docs-table", "--output", store,
+         "--dedup", "minhash", "--add-content", "--write-deduped"],
+    ):
+        with pytest.raises(SystemExit):
+            main(argv)
+
+    # build an exact store, then ask for minhash incrementally -> mismatch
+    assert main(["--source", docs, "--docs-table", "--output", store,
+                 "--dedup", "exact"]) == 0
+    with pytest.raises(SystemExit):
+        main(["--source", docs, "--docs-table", "--output", store,
+              "--dedup", "minhash", "--add-content"])

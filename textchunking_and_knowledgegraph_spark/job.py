@@ -39,14 +39,19 @@ def docs_as_source(spark, path: str):
     )
 
 
+def _doc_identity():
+    """THE curation document-identity expression (repo:path@commit) -- the
+    same identity the KG uses. One definition: the decisions ids and every
+    join back against them (e.g. the keep-only rewrite) must agree."""
+    return F.concat_ws(
+        "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
+    )
+
+
 def _curation_corpus(source):
-    """(id, text) curation projection: document identity (repo:path@commit)
-    -- the same identity the KG uses, so decisions join back anywhere."""
+    """(id, text) curation projection over the canonical source shape."""
     return source.select(
-        F.concat_ws(
-            "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
-        ).alias("id"),
-        F.col("content").alias("text"),
+        _doc_identity().alias("id"), F.col("content").alias("text")
     )
 
 
@@ -93,12 +98,7 @@ def run_dedup(
     if write_deduped:
         keep_ids = decisions.filter("keep").select("id")
         deduped = source.join(
-            keep_ids,
-            F.concat_ws(
-                "@", F.concat_ws(":", F.col("repo"), F.col("path")), F.col("commit")
-            )
-            == F.col("id"),
-            "left_semi",
+            keep_ids, _doc_identity() == F.col("id"), "left_semi"
         )
         deduped.write.mode("overwrite").parquet(f"{output}/deduped")
         stats["deduped"] = f"{output}/deduped"
@@ -136,9 +136,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --dedup: also write the keep=true source rows "
                          "to <output>/deduped")
     ap.add_argument("--old-source", default=None,
-                    help="with --dedup --add-content (minhash): the prior "
-                         "corpus table -- candidate verification reads old "
-                         "text selectively by id join, never a full pass")
+                    help="with --dedup --add-content (minhash): the CUMULATIVE "
+                         "prior corpus (all earlier batches) -- candidate "
+                         "verification reads old text selectively by id join; "
+                         "a coverage guard fails loudly if any earlier batch "
+                         "is missing")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
@@ -168,22 +170,45 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup:
         if not args.output:
             ap.error("--dedup requires --output (decisions directory)")
+        # an iceberg --source reaches here as a table NAME (the KG path
+        # resolves it inside prepared_source); curation needs the DataFrame
+        src_df = spark.read.table(source) if isinstance(source, str) else source
         if args.add_content:
-            from .plans.incremental_dedup import add_documents
+            if args.dedup == "simhash":
+                ap.error("--dedup simhash has no incremental store; use "
+                         "exact or minhash for --add-content")
+            if args.write_deduped:
+                ap.error("--write-deduped is a full-run output; rerun "
+                         "--dedup without --add-content to rewrite")
+            from .plans.incremental_dedup import add_documents, read_params
 
+            try:
+                stored = read_params(args.output)
+            except FileNotFoundError:
+                ap.error(f"{args.output} is not an incremental dedup store "
+                         "(no _dedup_params.json); run --dedup without "
+                         "--add-content first")
+            if stored["strategy"] != args.dedup:
+                ap.error(f"store at {args.output} was built with "
+                         f"--dedup {stored['strategy']}; requested "
+                         f"{args.dedup} (strategy is fixed at store build)")
             old = None
             if args.old_source:
-                old = _curation_corpus(
-                    docs_as_source(spark, args.old_source)
-                    if args.docs_table
-                    else spark.read.schema(SOURCE_SCHEMA).parquet(args.old_source)
-                )
+                if args.docs_table:
+                    old_src = docs_as_source(spark, args.old_source)
+                elif args.fmt == "iceberg":
+                    old_src = spark.read.table(args.old_source)
+                else:
+                    old_src = spark.read.schema(SOURCE_SCHEMA).parquet(
+                        args.old_source
+                    )
+                old = _curation_corpus(old_src)
             stats = add_documents(
-                spark, args.output, _curation_corpus(source), old_corpus=old
+                spark, args.output, _curation_corpus(src_df), old_corpus=old
             )
         else:
             stats = run_dedup(
-                spark, source, args.output,
+                spark, src_df, args.output,
                 strategy=args.dedup,
                 threshold=args.dedup_threshold,
                 write_deduped=args.write_deduped,

@@ -228,26 +228,61 @@ def minhash_near_dups(
     # mega-bucket it is trying to tame in a single task (AQE can't split
     # window partitions -- OOMs at 10^6-doc boilerplate clusters). The
     # aggregate partially combines map-side; the joins are skew-splittable.
+    pairs = lsh_candidate_pairs(bd, max_bucket)
+    return sig_prefiltered_verify(pairs, sigs, n_perm, threshold, sig_margin)
+
+
+def lsh_candidate_pairs(
+    bd: DataFrame, max_bucket: int, left_col: str | None = None
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded rows (id, band_id,
+    band_hash[, left_col]) with the oversized-bucket star cap.
+
+    ``left_col``: optional boolean column restricting pairs to those
+    touching a left row -- the incremental-dedup path marks the NEW batch
+    and skips old-old pairs entirely. The unrestricted path keeps the
+    cheaper asymmetric self-join (l.id < r.id halves the join output before
+    dedup); the restricted path normalizes with least/greatest since the
+    left row may sit on either side."""
     bucket_sizes = (
         bd.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("bsz"), F.min("id").alias("bucket_rep"))
         .localCheckpoint(eager=True)  # feeds both branches below
     )
-    small = bd.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
-        on=["band_id", "band_hash"],
+    small_keys = bucket_sizes.filter(F.col("bsz") <= max_bucket).select(
+        "band_id", "band_hash"
     )
-    quad_pairs = (
-        small.alias("l")
-        .join(small.alias("r"), on=["band_id", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-    )
-    # oversized buckets: every member pairs with the bucket's min id --
-    # O(bucket size), not O(bucket size^2); dedup below collapses the
-    # repeats across bands
+    if left_col is None:
+        small = bd.join(small_keys, on=["band_id", "band_hash"])
+        quad_pairs = (
+            small.alias("l")
+            .join(small.alias("r"), on=["band_id", "band_hash"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        star_left = bd
+    else:
+        left = bd.filter(F.col(left_col))
+        quad_pairs = (
+            left.select("band_id", "band_hash", F.col("id").alias("id_a"))
+            .join(small_keys, ["band_id", "band_hash"])
+            .join(
+                bd.select("band_id", "band_hash", F.col("id").alias("id_b")),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        star_left = left
+    # oversized buckets: every (left) member pairs with the bucket's min id
+    # -- O(bucket size), not O(bucket size^2); the final dedup collapses
+    # repeats across bands. bucket_rep is the bucket MIN, so it always
+    # sorts first and (rep, member) is already normalized.
     star_pairs = (
-        bd.join(
+        star_left.join(
             # oversized buckets are FEW by definition -- broadcast the key
             # set so the star branch never shuffles the band rows
             F.broadcast(
@@ -257,15 +292,22 @@ def minhash_near_dups(
             on=["band_id", "band_hash"],
         )
         .filter(F.col("id") != F.col("bucket_rep"))
-        .select(
-            F.col("bucket_rep").alias("id_a"), F.col("id").alias("id_b")
-        )
+        .select(F.col("bucket_rep").alias("id_a"), F.col("id").alias("id_b"))
     )
-    pairs = quad_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
+    return quad_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
-    sig_cols = sigs.select(
-        F.col("id"), F.col("sig"), F.col("text")
-    )
+
+def sig_prefiltered_verify(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    n_perm: int,
+    threshold: float,
+    sig_margin: float = 0.2,
+) -> DataFrame:
+    """Shared tail of every minhash path: JVM signature-similarity
+    prefilter, then the exact word-shingle Jaccard verify (pandas UDF) on
+    near-threshold survivors only. ``sigs`` must carry (id, text, sig)."""
+    sig_cols = sigs.select(F.col("id"), F.col("sig"), F.col("text"))
     joined = (
         pairs.join(sig_cols.select(F.col("id").alias("id_a"),
                                    F.col("sig").alias("sig_a"),

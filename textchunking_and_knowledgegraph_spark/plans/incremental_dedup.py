@@ -26,8 +26,11 @@ batch only (Arrow UDF); candidate generation is an equi-join of the new
 band keys against old+new band keys with the same oversized-bucket star cap
 as the batch operator; the signature prefilter keeps Python off all but
 near-threshold pairs; exact verification reads OLD text selectively -- a
-join of the surviving candidate ids back into the caller-supplied old
-corpus, never a full old-corpus pass.
+join of the surviving candidate ids back into the caller-supplied prior
+corpus, never a full old-corpus pass. ``old_corpus`` must be CUMULATIVE
+(every earlier batch, not just the initial one) -- a coverage guard raises
+if any candidate endpoint lacks text rather than silently keeping a true
+near-duplicate.
 """
 
 from __future__ import annotations
@@ -39,10 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _shingle_jaccard,
     dedup_decisions,
     exact_dedup,
+    lsh_candidate_pairs,
     minhash_near_dups,
+    sig_prefiltered_verify,
     signatures_with_collapse,
 )
 from ..operators.linking import banded
@@ -135,79 +139,38 @@ def _new_minhash_edges(
     ).unionByName(old_sigs)
 
     bd = banded(all_sigs, bands, rows).select("id", "is_new", "band_id", "band_hash")
-    bd_new = bd.filter("is_new")
-    bucket_sizes = (
-        bd.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("bsz"), F.min("id").alias("bucket_rep"))
-        .localCheckpoint(eager=True)
+    # same candidate machinery as the batch operator (ONE implementation,
+    # operators/dedup.py), restricted to pairs touching the new batch
+    pairs = lsh_candidate_pairs(bd, max_bucket, left_col="is_new").localCheckpoint(
+        eager=True
     )
-    small_keys = bucket_sizes.filter(F.col("bsz") <= max_bucket).select(
-        "band_id", "band_hash"
-    )
-    quad = (
-        bd_new.select("band_id", "band_hash", F.col("id").alias("id_a"))
-        .join(small_keys, ["band_id", "band_hash"])
-        .join(
-            bd.select("band_id", "band_hash", F.col("id").alias("id_b")),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-    )
-    star = (
-        bd_new.join(
-            F.broadcast(
-                bucket_sizes.filter(F.col("bsz") > max_bucket)
-                .select("band_id", "band_hash", "bucket_rep")
-            ),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("id") != F.col("bucket_rep"))
-        .select(
-            F.least("id", "bucket_rep").alias("id_a"),
-            F.greatest("id", "bucket_rep").alias("id_b"),
-        )
-    )
-    pairs = quad.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
-    # signature prefilter (JVM), then exact verify with text fetched
-    # selectively: new text from the batch, old text by joining the
-    # surviving ids back into the caller-supplied old corpus
-    sig_map = all_sigs.select("id", "sig")
-    joined = (
-        pairs.join(
-            sig_map.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
-        )
-        .join(
-            sig_map.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
-    )
-    sig_sim = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
-    ) / F.lit(float(n_perm))
-    survivors = joined.filter(sig_sim >= threshold - 0.2).select("id_a", "id_b")
-
+    # guard BEFORE the text join silently drops anything: old candidate
+    # endpoints must be covered by old_corpus -- callers must pass the
+    # CUMULATIVE prior corpus (every earlier batch), not just the initial
+    # one, or true near-dups of earlier increments would be kept
     texts = new_corpus.select("id", "text").unionByName(
         old_corpus.select("id", "text")
     )
-    verified = (
-        survivors.join(
-            texts.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")),
-            "id_a",
+    cand_ids = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    missing = cand_ids.join(texts.select("id"), "id", "left_anti")
+    n_missing = missing.limit(1).count()
+    if n_missing:
+        sample = [r.id for r in missing.limit(5).collect()]
+        raise ValueError(
+            "old_corpus does not cover every previously added batch: "
+            f"candidate endpoints without text, e.g. {sample}. Pass the "
+            "cumulative prior corpus (all earlier batches) as old_corpus."
         )
-        .join(
-            texts.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")),
-            "id_b",
-        )
-        .withColumn("jaccard", _shingle_jaccard(F.col("text_a"), F.col("text_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
-    )
+
+    # signature prefilter (JVM) + exact verify (operators/dedup.py shared
+    # tail); old text enters only through the candidate-id join
+    sig_text = all_sigs.select("id", "sig").join(texts, "id")
+    verified = sig_prefiltered_verify(
+        pairs, sig_text, n_perm, threshold
+    ).select("id_a", "id_b")
 
     # map OLD endpoints to their cluster keeper (old decisions immutable)
     old_map = spark.read.parquet(f"{store}/dedup_decisions").select(
@@ -267,6 +230,10 @@ def add_documents(
                 "reads for candidate verification)"
             )
         edges, new_sigs = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
+        # eager: edges feed isEmpty AND both sides of the CC symmetrizing
+        # union -- without the barrier the whole candidate+verify pipeline
+        # (band joins + pandas-UDF verify) re-executes per consumer
+        edges = edges.localCheckpoint(eager=True)
         from ..operators.canonicalize import connected_components
 
         new_ids = new_corpus.select("id")
