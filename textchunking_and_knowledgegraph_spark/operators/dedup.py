@@ -133,7 +133,11 @@ def with_minhash_shingles(
 def signatures_with_collapse(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = 64
 ) -> DataFrame:
-    """Eagerly-checkpointed (id, text, sig) signature table.
+    """Eagerly-checkpointed (id, sig) signature table -- deliberately
+    WITHOUT text: the checkpoint exists to avoid re-running the signature
+    UDF, while text is a plain scan any consumer can cheaply re-join by id.
+    Caching corpus text in the block manager alongside the signatures blew
+    the JVM heap at 1.15M docs (stress run: read-ahead OutOfMemoryError).
 
     Exact-dup pre-collapse (adaptive): signatures only need to run once
     per DISTINCT text -- on duplicate-heavy corpora (boilerplate/template
@@ -168,10 +172,14 @@ def signatures_with_collapse(
         ).select("fp", "sig")
         return (
             fp.join(rep_sigs, "fp")
-            .select("id", "text", "sig")
+            .select("id", "sig")
             .localCheckpoint(eager=True)
         )
-    return with_minhash_shingles(base, "text", n_perm).localCheckpoint(eager=True)
+    return (
+        with_minhash_shingles(base, "text", n_perm)
+        .select("id", "sig")
+        .localCheckpoint(eager=True)
+    )
 
 
 def minhash_near_dups(
@@ -213,11 +221,11 @@ def minhash_near_dups(
     """
     rows = n_perm // bands
     if precomputed_sigs is not None:
-        # caller already materialized (id, text, sig) -- e.g. the
-        # incremental-dedup store build, which persists the signatures
-        # anyway; recomputing them here would double the dominant UDF cost
-        # AND hold two checkpointed signature copies in memory at once
-        sigs = precomputed_sigs.select("id", "text", "sig")
+        # caller already materialized (id, sig) -- e.g. the incremental-
+        # dedup store build, which persists the signatures anyway;
+        # recomputing here would double the dominant UDF cost AND hold two
+        # checkpointed signature copies in memory at once
+        sigs = precomputed_sigs.select("id", "sig")
     else:
         sigs = signatures_with_collapse(df, id_col, text_col, n_perm)
     bd = banded(sigs, bands, rows).select("id", "band_id", "band_hash")
@@ -229,7 +237,12 @@ def minhash_near_dups(
     # window partitions -- OOMs at 10^6-doc boilerplate clusters). The
     # aggregate partially combines map-side; the joins are skew-splittable.
     pairs = lsh_candidate_pairs(bd, max_bucket)
-    return sig_prefiltered_verify(pairs, sigs, n_perm, threshold, sig_margin)
+    # text joined back from the plain source scan -- the checkpoint holds
+    # signatures only (see signatures_with_collapse)
+    sig_text = sigs.join(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), "id"
+    )
+    return sig_prefiltered_verify(pairs, sig_text, n_perm, threshold, sig_margin)
 
 
 def lsh_candidate_pairs(
