@@ -191,3 +191,74 @@ def test_walk_skipgram_single_node_walk(spark):
 
     walks = spark.createDataFrame([("w", "solo")], "walk_id string, walk string")
     assert walk_skipgram_pairs(walks).count() == 0
+
+
+def _pr_fixture(spark):
+    rows = [
+        ("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c"),
+        ("c", "r", "a"), ("d", "r", "c"),  # e appears only as an object
+        ("c", "r", "e"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_pagerank_invariants_and_partitioning(spark):
+    """Ranks sum to 1 (dangling mass redistributed), the hub outranks the
+    leaf, and the fixpoint is identical under any input partitioning."""
+    from textchunking_and_knowledgegraph_spark.operators.graph import pagerank
+
+    edges = _pr_fixture(spark)
+    r1 = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(r1.values()) - 1.0) < 1e-6
+    assert r1["c"] > r1["d"]  # 3 in-edges vs 0
+    r2 = {r.node: r.rank for r in pagerank(edges.repartition(7), iters=10).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_matches_duckdb_replay(spark):
+    """DuckDB recomputes the same damped iteration (same per-round 9-dp
+    rounding, same uniform dangling redistribution) over the fixture;
+    ranks must agree exactly -- the rounding makes the float fixpoint
+    reduction-order-independent, the same stability trade the IVF oracle
+    relies on."""
+    import duckdb
+
+    from textchunking_and_knowledgegraph_spark.operators.graph import pagerank
+
+    edges = _pr_fixture(spark)
+    got = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+
+    rows = edges.collect()
+    vals = ", ".join(f"('{r.subj}', '{r.obj}')" for r in rows)
+    iters_sql = ""
+    for t in range(1, 9):
+        p = t - 1
+        iters_sql += f"""
+        , contrib{t} AS (
+            SELECT e.dst AS node, SUM(r.rank * e.w) AS c
+            FROM w_edges e JOIN r{p} r ON e.node = r.node GROUP BY e.dst
+        ), dang{t} AS (
+            SELECT COALESCE(SUM(rank), 0.0) AS d FROM r{p}
+            WHERE node NOT IN (SELECT node FROM out_deg)
+        ), r{t} AS (
+            SELECT n.node,
+                   ROUND((1 - 0.85) / nn.n
+                         + 0.85 * (COALESCE(c.c, 0.0)
+                                   + (SELECT d FROM dang{t}) / nn.n), 9) AS rank
+            FROM nodes n CROSS JOIN ncount nn
+            LEFT JOIN contrib{t} c ON n.node = c.node
+        )"""
+    sql = f"""
+        WITH e(src, dst) AS (VALUES {vals}),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        out_deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+        w_edges AS (SELECT e.src AS node, e.dst, 1.0 / d.deg AS w
+                    FROM e JOIN out_deg d ON e.src = d.node),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM ncount) AS rank FROM nodes)
+        {iters_sql}
+        SELECT node, rank FROM r8
+    """
+    want = {n: r for n, r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want

@@ -279,6 +279,73 @@ def label_propagation(edges: DataFrame, labels: DataFrame, rounds: int = 5) -> D
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """PageRank over the directed triple graph -- entity importance for KG
+    curation/ranking (beyond the reference surface, like ``random_walk``:
+    the natural consumer is ranking extracted entities before linking).
+
+    Spark shape per iteration: ONE hash join of the rank vector against
+    the out-degree-weighted edge list + a map-side-combinable groupBy sum
+    -- no GraphX, no RDDs. Dangling mass (nodes without out-edges) is
+    redistributed uniformly each iteration so ranks keep summing to 1.
+    Per-iteration ranks round to ``round_dp`` decimals, making the fixpoint
+    stable across partial-aggregation orders (float sums are
+    reduction-order-sensitive in the last bits; the same stability trade
+    ann.fit_ivf_centroids makes). localCheckpoint per iteration truncates
+    the iterative lineage (SURVEY.md 4.2)."""
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # (src, dst, weight) with weight = 1/outdeg(src), reused every round
+    w_edges = (
+        edges.select(F.col("subj").alias("node"), F.col("obj").alias("dst"))
+        .join(out_deg, "node")
+        .select("node", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            w_edges.join(ranks, "node")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        dangling = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.lit(float(dangling) / n)),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def distinct_entity_count(edges: DataFrame) -> int:
     """A4: `list(set(entities))` scale-out."""
     return (
