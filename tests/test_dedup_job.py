@@ -254,3 +254,49 @@ def test_dedup_cli_validations(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--source", docs, "--docs-table", "--output", store,
               "--dedup", "minhash", "--add-content"])
+
+
+def test_incremental_embedding_store(spark):
+    """Embedding-cosine curation with a persisted SRP-bucket store: the
+    full build clusters near-identical vectors; a new batch joins existing
+    clusters first-seen-wins; the coverage guard rejects a non-cumulative
+    prior corpus."""
+    import pytest
+
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_embeddings,
+        write_embedding_store,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    out = tempfile.mkdtemp(prefix="tckg_incemb_")
+    try:
+        b1 = spark.createDataFrame(
+            [("e1", vec(1, 0, 0, 0)), ("e2", vec(0.999, 0.01, 0, 0)),
+             ("e3", vec(0, 1, 0, 0))],
+            "id string, embedding array<double>",
+        )
+        stats = write_embedding_store(spark, b1, out, threshold=0.95)
+        assert stats["docs"] == 3 and stats["duplicates_dropped"] == 1
+        before = {r.id: (r.keeper, r.keep)
+                  for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert before["e2"] == ("e1", False) and before["e3"] == ("e3", True)
+
+        b2 = spark.createDataFrame(
+            [("a9", vec(0.998, -0.02, 0, 0)),   # ~= e1 cluster, smaller id
+             ("z9", vec(0, 0, 1, 0))],          # unrelated
+            "id string, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="cumulative"):
+            add_embeddings(spark, out, b2, old_corpus=b1.filter("id = 'e3'"))
+        stats2 = add_embeddings(spark, out, b2, old_corpus=b1)
+        assert stats2["new_docs"] == 2 and stats2["new_duplicates_dropped"] == 1
+        after = {r.id: (r.keeper, r.keep)
+                 for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert {k: after[k] for k in before} == before  # immutability
+        assert after["a9"] == ("e1", False)  # first-seen-wins despite a9 < e1
+        assert after["z9"] == ("z9", True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

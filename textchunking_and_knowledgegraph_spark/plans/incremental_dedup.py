@@ -189,6 +189,192 @@ def _new_minhash_edges(
     return e, new_sigs
 
 
+def write_embedding_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store: str,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 2,
+    max_bucket: int = 200,
+) -> dict:
+    """Embedding-cosine near-dup curation of ``corpus`` (id, embedding)
+    with a persisted incremental store. SRP buckets are deterministic
+    (fixed hyperplane seeds), so the persisted (id, table_id, bucket) rows
+    stay joinable against any later batch bucketed with the same params.
+    Candidates go through the SAME cap/star machinery as the text paths
+    (lsh_candidate_pairs); verification is exact JVM cosine."""
+    from ..operators.dedup import cosine_expr, with_sign_buckets
+
+    base = corpus.select("id", F.col("embedding").alias("emb"))
+    bucketed = with_sign_buckets(base, "emb", n_planes, n_tables).localCheckpoint(
+        eager=True
+    )
+    bucketed.select("id", "table_id", "bucket").write.mode("overwrite").parquet(
+        f"{store}/emb_buckets"
+    )
+    bd = bucketed.select(
+        "id", F.col("table_id").alias("band_id"), F.col("bucket").alias("band_hash")
+    )
+    pairs = lsh_candidate_pairs(bd, max_bucket)
+    embs = base
+    verified = (
+        pairs.join(embs.select(F.col("id").alias("id_a"),
+                               F.col("emb").alias("emb_a")), "id_a")
+        .join(embs.select(F.col("id").alias("id_b"),
+                          F.col("emb").alias("emb_b")), "id_b")
+        .filter(cosine_expr(F.col("emb_a"), F.col("emb_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    decisions = dedup_decisions(base, verified, id_col="id")
+    decisions.write.mode("overwrite").parquet(f"{store}/dedup_decisions")
+    _write_params(store, {
+        "strategy": "embedding", "threshold": threshold,
+        "n_planes": n_planes, "n_tables": n_tables, "max_bucket": max_bucket,
+    })
+    decisions = spark.read.parquet(f"{store}/dedup_decisions")
+    n = decisions.count()
+    kept = decisions.filter("keep").count()
+    return {"strategy": "embedding", "docs": n, "kept": kept,
+            "duplicates_dropped": n - kept, "store": store}
+
+
+def add_embeddings(
+    spark: SparkSession,
+    store: str,
+    new_corpus: DataFrame,
+    old_corpus: DataFrame,
+) -> dict:
+    """Incrementally curate new (id, embedding) rows against an embedding
+    store: bucket the NEW batch only (same deterministic hyperplanes),
+    candidates from an equi-join of new buckets against old+new buckets,
+    exact cosine verification with OLD embeddings read selectively from
+    the caller-supplied CUMULATIVE prior corpus (coverage-guarded), then
+    the shared first-seen-wins cluster assignment."""
+    from ..operators.dedup import cosine_expr, with_sign_buckets
+
+    p = read_params(store)
+    if p["strategy"] != "embedding":
+        raise ValueError(f"store strategy is {p['strategy']!r}, not embedding")
+    new = new_corpus.select("id", F.col("embedding").alias("emb"))
+    old = old_corpus.select("id", F.col("embedding").alias("emb"))
+
+    new_bd = with_sign_buckets(
+        new, "emb", p["n_planes"], p["n_tables"]
+    ).select("id", "table_id", "bucket").localCheckpoint(eager=True)
+    old_bd = spark.read.parquet(f"{store}/emb_buckets").withColumn(
+        "is_new", F.lit(False)
+    )
+    bd = (
+        new_bd.withColumn("is_new", F.lit(True))
+        .unionByName(old_bd)
+        .select(
+            "id", "is_new",
+            F.col("table_id").alias("band_id"),
+            F.col("bucket").alias("band_hash"),
+        )
+    )
+    pairs = lsh_candidate_pairs(bd, p["max_bucket"], left_col="is_new").localCheckpoint(
+        eager=True
+    )
+
+    embs = new.unionByName(old)
+    cand_ids = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    missing = cand_ids.join(embs.select("id"), "id", "left_anti")
+    if missing.limit(1).count():
+        sample = [r.id for r in missing.limit(5).collect()]
+        raise ValueError(
+            "old_corpus does not cover every previously added batch: "
+            f"candidate endpoints without embeddings, e.g. {sample}. Pass "
+            "the cumulative prior corpus as old_corpus."
+        )
+    verified = (
+        pairs.join(embs.select(F.col("id").alias("id_a"),
+                               F.col("emb").alias("emb_a")), "id_a")
+        .join(embs.select(F.col("id").alias("id_b"),
+                          F.col("emb").alias("emb_b")), "id_b")
+        .filter(cosine_expr(F.col("emb_a"), F.col("emb_b")) >= p["threshold"])
+        .select("id_a", "id_b")
+    )
+    old_map = spark.read.parquet(f"{store}/dedup_decisions").select(
+        F.col("id").alias("old_id"), F.col("keeper").alias("old_keeper")
+    )
+    edges = (
+        verified.join(old_map.withColumnRenamed("old_id", "id_a"), "id_a", "left")
+        .withColumn("src", F.coalesce("old_keeper", "id_a"))
+        .drop("old_keeper")
+        .join(old_map.withColumnRenamed("old_id", "id_b"), "id_b", "left")
+        .withColumn("dst", F.coalesce("old_keeper", "id_b"))
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    decisions_new = _first_seen_decisions(spark, store, new.select("id"), edges)
+    new_bd.write.mode("append").parquet(f"{store}/emb_buckets")
+    decisions_new.write.mode("append").parquet(f"{store}/dedup_decisions")
+    n = decisions_new.count()
+    kept = decisions_new.filter("keep").count()
+    return {"strategy": "embedding", "new_docs": n, "new_kept": kept,
+            "new_duplicates_dropped": n - kept, "store": store}
+
+
+def _first_seen_decisions(
+    spark: SparkSession,
+    store: str,
+    new_ids: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """First-seen-wins cluster assignment shared by every near-dup
+    strategy: CC over the verified edge graph (old endpoints arrive
+    pre-mapped to their keeper), then per component the min OLD keeper
+    wins if any member is one, else the component min; untouched new docs
+    keep themselves. Returns checkpointed (id, keeper, keep) for the new
+    batch only."""
+    from ..operators.canonicalize import connected_components
+
+    # eager: edges feed isEmpty AND both sides of the CC symmetrizing
+    # union -- without the barrier the whole candidate+verify pipeline
+    # (band joins + verify UDF) re-executes per consumer
+    edges = edges.localCheckpoint(eager=True)
+    if edges.isEmpty():
+        return new_ids.select(
+            "id", F.col("id").alias("keeper"), F.lit(True).alias("keep")
+        ).localCheckpoint(eager=True)
+    old_keepers = (
+        spark.read.parquet(f"{store}/dedup_decisions")
+        .filter("keep")
+        .select(F.col("id").alias("kid"))
+    )
+    comp = connected_components(edges)  # (id, component)
+    old_in_comp = (
+        comp.join(old_keepers, comp.id == old_keepers.kid)
+        .groupBy("component")
+        .agg(F.min("kid").alias("old_keeper"))
+    )
+    comp_keeper = (
+        comp.groupBy("component")
+        .agg(F.min("id").alias("comp_min"))
+        .join(old_in_comp, "component", "left")
+        .select(
+            "component", F.coalesce("old_keeper", "comp_min").alias("ckeeper")
+        )
+    )
+    labeled = comp.join(comp_keeper, "component").select(
+        F.col("id"), F.col("ckeeper")
+    )
+    return (
+        new_ids.join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("ckeeper", F.col("id")).alias("keeper"),
+            (F.coalesce("ckeeper", F.col("id")) == F.col("id")).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def add_documents(
     spark: SparkSession,
     store: str,
@@ -230,52 +416,9 @@ def add_documents(
                 "reads for candidate verification)"
             )
         edges, new_sigs = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
-        # eager: edges feed isEmpty AND both sides of the CC symmetrizing
-        # union -- without the barrier the whole candidate+verify pipeline
-        # (band joins + pandas-UDF verify) re-executes per consumer
-        edges = edges.localCheckpoint(eager=True)
-        from ..operators.canonicalize import connected_components
-
-        new_ids = new_corpus.select("id")
-        old_keepers = (
-            spark.read.parquet(f"{store}/dedup_decisions")
-            .filter("keep")
-            .select(F.col("id").alias("kid"))
+        decisions_new = _first_seen_decisions(
+            spark, store, new_corpus.select("id"), edges
         )
-        if edges.isEmpty():
-            decisions_new = new_ids.select(
-                "id", F.col("id").alias("keeper"), F.lit(True).alias("keep")
-            ).localCheckpoint(eager=True)
-        else:
-            comp = connected_components(edges)  # (id, component)
-            # component keeper: the min OLD keeper if any member is one
-            # (first-seen-wins), else the component min (== CC label)
-            old_in_comp = (
-                comp.join(old_keepers, comp.id == old_keepers.kid)
-                .groupBy("component")
-                .agg(F.min("kid").alias("old_keeper"))
-            )
-            comp_keeper = (
-                comp.groupBy("component")
-                .agg(F.min("id").alias("comp_min"))
-                .join(old_in_comp, "component", "left")
-                .select(
-                    "component",
-                    F.coalesce("old_keeper", "comp_min").alias("ckeeper"),
-                )
-            )
-            labeled = comp.join(comp_keeper, "component").select(
-                F.col("id"), F.col("ckeeper")
-            )
-            decisions_new = (
-                new_ids.join(labeled, "id", "left")
-                .select(
-                    "id",
-                    F.coalesce("ckeeper", F.col("id")).alias("keeper"),
-                    (F.coalesce("ckeeper", F.col("id")) == F.col("id")).alias("keep"),
-                )
-                .localCheckpoint(eager=True)
-            )
         new_sigs.select("id", "sig").write.mode("append").parquet(f"{store}/sigs")
     else:
         raise ValueError(f"unsupported incremental strategy {p['strategy']!r}")
