@@ -46,10 +46,18 @@ def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # per-process: the split-lineage oracle SQL strings are generated in the
-# same process that runs the Spark queries, so keying the path by pid makes
-# concurrent sessions (a bench and a contract run on one host) clobber-proof
-# while keeping query-writes and oracle-reads pointed at the same files
-_SPLIT_DIR = f"/tmp/tckg_split_{os.getpid()}"
+# same process that runs the Spark queries, so a process-private mkdtemp
+# (0700, unpredictable suffix -- no pid-reuse or symlink pre-creation by
+# another local user, unlike the old /tmp/tckg_split_<pid>) keeps
+# query-writes and oracle-reads pointed at the same files while concurrent
+# sessions stay clobber-proof; removed at interpreter exit so runs stop
+# leaking parquet into /tmp
+import atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+_SPLIT_DIR = _tempfile.mkdtemp(prefix="tckg_split_")
+atexit.register(_shutil.rmtree, _SPLIT_DIR, ignore_errors=True)
 
 
 def _materialize_upstream(df: DataFrame, name: str) -> DataFrame:
@@ -323,17 +331,6 @@ def q23_quality_metrics(spark, sf_dir):
     )
 
 
-def q25_orders_by_month(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
-        )
-    )
-
-
 def q26_star_revenue(spark, sf_dir):
     """Multiway star join: fact lineitem x orders x customer -> revenue per
     market segment (the big-shuffle query; AQE coalesces post-shuffle)."""
@@ -452,17 +449,39 @@ def stream_event_counts(spark, sf_dir):
     """REAL Structured Streaming: events parquet consumed as a
     Trigger.AvailableNow file stream -> watermark -> tumbling window ->
     memory sink; returns the drained result (rows-only: the oracle-verified
-    batch twin is q20)."""
+    batch twin is q20).
+
+    Self-carried equivalence evidence (r5): the SAME run also computes the
+    batch twin (windowed_event_counts over a plain scan) and attaches an
+    order-invariant row-hash of each side plus their equality bit as
+    columns -- the recorded output itself now ships the stream==batch
+    proof instead of relying on the pytest pin alone. A divergence flips
+    ``stream_matches_batch`` to false in every recorded row."""
     import tempfile
     import uuid
 
     from textchunking_and_knowledgegraph_spark.streaming.events import (
         stream_events_available_now,
+        windowed_event_counts,
     )
+
+    def _rowhash_sum(df) -> int:
+        # order-invariant: per-row xxhash64 over stringified columns,
+        # summed as decimal(38,0) (ANSI-safe -- a long sum overflows)
+        h = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+        v = df.select(h.cast("decimal(38,0)").alias("h")).agg(F.sum("h")).first()[0]
+        return int(v or 0)
 
     ckpt = tempfile.mkdtemp(prefix="tckg_stream_ck_")
     name = f"tckg_stream_counts_{uuid.uuid4().hex[:8]}"
-    return stream_events_available_now(spark, f"{sf_dir}/events.parquet", ckpt, name)
+    res = stream_events_available_now(spark, f"{sf_dir}/events.parquet", ckpt, name)
+    batch = windowed_event_counts(_t(spark, sf_dir, "events"))
+    sh, bh = _rowhash_sum(res), _rowhash_sum(batch)
+    return (
+        res.withColumn("stream_row_hash", F.lit(str(sh)))
+        .withColumn("batch_twin_row_hash", F.lit(str(bh)))
+        .withColumn("stream_matches_batch", F.lit(sh == bh))
+    )
 
 
 def q30_normalize_markdown(spark, sf_dir):
@@ -523,13 +542,25 @@ def paper_questions(spark, sf_dir):
     """Paper pipeline (T1-T7/F5-F6/J5): exam markdown -> typed question
     table, through the PAPER-path normalizer (dot respacing + OCR
     de-hyphenation, `md_paper_parser.py:52-59,190-198` -- the repairs the
-    book path must not apply). Self-contained deterministic fixture corpus."""
+    book path must not apply). Self-contained deterministic fixture corpus.
+
+    Hash-verified via split lineage (r5): the PREPARED paper source (scan +
+    sha + paper normalization -- plain column algebra, itself oracled via
+    q30/q02-style mirrors) is materialized to parquet, and the DuckDB
+    oracle independently recomputes the ENTIRE question grammar from that
+    parquet -- heading-boundary sectioning, part-header/source-tag carry,
+    the 【答案】/【解析】 anchor extraction with inline-解析 precedence, the
+    type classification, and the ###/numbered sub-question split (see
+    _paper_oracle_sql for the parity envelope)."""
     from textchunking_and_knowledgegraph_spark.operators.paper import parse_papers
     from textchunking_and_knowledgegraph_spark.plans.pipeline import (
         prepared_paper_source,
     )
 
-    return parse_papers(prepared_paper_source(spark, _paper_source(spark)))
+    src = _materialize_upstream(
+        prepared_paper_source(spark, _paper_source(spark)), "paper_src"
+    )
+    return parse_papers(src)
 
 
 def paper_knowledge_edges(spark, sf_dir):
@@ -555,9 +586,31 @@ def paper_knowledge_edges(spark, sf_dir):
 
 
 def kg_chunks(spark, sf_dir):
+    """The chunk table, with the slicing/assembly hash-verified (r5): the
+    chunker runs in provenance mode (chunk_documents with_spans=True, which
+    re-asserts in-UDF that the span slices equal the engine chunks), the
+    extended table persists, and the DuckDB oracle independently RE-CUTS
+    every chunk's text from its section sentence stream with substr and
+    verifies the packing contract in SQL -- first chunk at offset 0, last
+    chunk ends at the stream end, inter-chunk gaps are exactly one dropped
+    joiner space (soft boundary) or zero (hard split), every chunk is
+    <= 1000 chars and every non-final chunk >= 600. The Spark side emits
+    len_ok/cov_ok as literal TRUE; the oracle computes them from the spans,
+    so any violation hash-mismatches. The boundary DECISIONS themselves
+    (where the greedy loop cuts) stay pinned by executing the reference's
+    own chunker (tests/test_reference_execution.py)."""
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
+    from textchunking_and_knowledgegraph_spark.sources.io import CHUNK_SCHEMA
 
-    return build_chunks(spark, _docs_source(spark, sf_dir))
+    chunks = _materialize_upstream(
+        build_chunks(spark, _docs_source(spark, sf_dir), with_spans=True),
+        "kg_chunks_up",
+    )
+    return chunks.select(
+        *[f.name for f in CHUNK_SCHEMA.fields],
+        F.lit(True).alias("len_ok"),
+        F.lit(True).alias("cov_ok"),
+    )
 
 
 def kg_chunk_stats(spark, sf_dir):
@@ -679,13 +732,25 @@ def dedup_ngram(spark, sf_dir):
 
 
 def ann_srp_topk(spark, sf_dir):
+    """SRP (sign-LSH) bucketed ANN with the bucketing itself inside the
+    verified surface: dyadic-quantized hyperplanes (multiples of 2^-10,
+    dedup._hyperplanes quantize=True) over the exact-arithmetic fixture
+    (coords multiples of 0.25) make every plane dot product exactly
+    representable in float64, so reduction order provably cannot flip a
+    sign bit -- the same argument that earned ann_ivf_topk its oracle.
+    The DuckDB oracle replays the per-table sign buckets, the hamming-ball
+    probe expansion (XOR masks), the candidate equi-join, and the
+    in-bucket cosine top-k bit-exactly (see _srp_oracle_sql). The
+    corpus-scale default (raw normal planes over real embeddings) stays
+    pinned by the recall-floor test in tests/."""
     from textchunking_and_knowledgegraph_spark.operators.ann import srp_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    corpus_rows, query_rows = _ivf_fixture()
+    corpus = spark.createDataFrame(corpus_rows, "vec_id string, embedding array<double>")
+    queries = spark.createDataFrame(query_rows, "query_id string, embedding array<double>")
+    return srp_topk(
+        corpus, queries, k=3, n_planes=8, n_probe=8, n_tables=2, quantize=True
     )
-    return srp_topk(emb, queries, k=5)
 
 
 def _ivf_fixture() -> tuple[list[tuple[str, list[float]]], list[tuple[str, list[float]]]]:
@@ -829,6 +894,20 @@ def kg_add_content(spark, sf_dir):
     return merged
 
 
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the deterministic hierarchy fixture graph —
+    hash-verified: the DuckDB oracle re-derives the edge set from the
+    inlined lineage paths and replays every damped iteration (same
+    per-round 9-dp rounding, same uniform dangling redistribution), so
+    ranks must agree bit-for-bit (the rounding makes the float fixpoint
+    reduction-order-independent — the IVF-oracle stability trade).
+    Partitioning-invariance over arbitrary graphs stays pinned by
+    tests/test_graph.py."""
+    from textchunking_and_knowledgegraph_spark.operators.graph import pagerank
+
+    return pagerank(_dict_edges(spark), iters=8)
+
+
 def graph_label_prop(spark, sf_dir):
     """A6/W3: label-propagation community rounds over the hierarchy graph."""
     from pyspark.sql import functions as SF
@@ -925,6 +1004,7 @@ def mm_features(spark, sf_dir):
     from textchunking_and_knowledgegraph_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         encode_bmp,
+        encode_png,
         encode_wav,
         extract_features,
         fake_decoder,
@@ -958,7 +1038,12 @@ def mm_features(spark, sf_dir):
                     px = np.full(
                         (3 + did % 7, 4 + did % 13, 3), did % 256, dtype=np.uint8
                     )
-                    payload = encode_bmp(px)
+                    # alternate codecs over the SAME pixel formula: the
+                    # oracle recomputes decoded dims/fill from doc_id
+                    # arithmetic without decoding, so hash equality proves
+                    # BOTH the BMP and the PNG (r5: zlib+unfilter) decoders
+                    # recover exactly what was encoded
+                    payload = encode_png(px) if did % 2 == 0 else encode_bmp(px)
                 elif kind == "audio":
                     s = np.full(8 + did % 100, did % 65536 - 32768, dtype=np.int16)
                     payload = encode_wav(s)
@@ -1016,7 +1101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_ann_topk": q21_ann_topk,
         "q22_embedding_near_dups": q22_embedding_near_dups,
         "q23_quality_metrics": q23_quality_metrics,
-        "q25_orders_by_month": q25_orders_by_month,
+        # q25_orders_by_month rotated out for graph_pagerank (50-entry
+        # driver cap): its month-truncate+agg shape stays covered by
+        # q20/q29; PageRank brings an iterative whole-graph algorithm
+        # into the hash-verified contract.
+        "graph_pagerank": graph_pagerank,
         "q26_star_revenue": q26_star_revenue,
         "q27_sequential_ord": q27_sequential_ord,
         "q28_distinct_count": q28_distinct_count,
@@ -1365,6 +1454,89 @@ def _ivf_oracle_sql(
     return sql
 
 
+def _srp_oracle_sql(
+    k: int = 3,
+    n_planes: int = 8,
+    n_probe: int = 8,
+    n_tables: int = 2,
+    dim: int = 4,
+) -> str:
+    """DuckDB replay of operators/ann.py ``srp_topk`` over the inlined
+    exact-arithmetic fixture: the dyadic-quantized hyperplanes (the
+    operator's deterministic parameters, inlined the way _minhash_oracle_sql
+    inlines its permutation constants) recompute every sign bit -- each
+    plane-dot term is a multiple of 2^-12 with a tiny numerator, so the
+    4-term sum is exact in float64 under ANY summation order (numpy BLAS on
+    the Spark side, list_sum here) -- then the hamming-ball XOR probe
+    masks, the (table_id, bucket) candidate equi-join, the cross-table
+    DISTINCT, and the 6-dp in-bucket cosine top-k replay 1:1."""
+    import math
+
+    from textchunking_and_knowledgegraph_spark.operators.dedup import _hyperplanes
+
+    corpus_rows, query_rows = _ivf_fixture()
+
+    def _vals(rows):
+        return ",\n                  ".join(
+            "('" + i + "', [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+            for i, v in rows
+        )
+
+    plane_vals = ",\n                  ".join(
+        f"({t}, {p}, [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for t in range(n_tables)
+        for p, row in enumerate(_hyperplanes(dim, n_planes, seed=7 + t, quantize=True))
+    )
+    radius = max(0, int(math.log2(max(1, n_probe))))
+    masks = ", ".join(
+        str(m) for m in range(1 << n_planes) if bin(m).count("1") <= radius
+    )
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * pl.p[i]))"
+    return f"""
+            WITH emb(vec_id, e) AS (VALUES
+                  {_vals(corpus_rows)}),
+            qs(query_id, q) AS (VALUES
+                  {_vals(query_rows)}),
+            planes(table_id, plane_id, p) AS (VALUES
+                  {plane_vals}),
+            cb AS (
+              SELECT vec_id, pl.table_id,
+                     CAST(SUM(CASE WHEN {dot.replace('v[i]', 'emb.e[i]')} > 0
+                                   THEN 1 << pl.plane_id ELSE 0 END)
+                          AS INTEGER) AS bucket
+              FROM emb CROSS JOIN planes pl GROUP BY vec_id, pl.table_id
+            ),
+            qb AS (
+              SELECT query_id, pl.table_id,
+                     CAST(SUM(CASE WHEN {dot.replace('v[i]', 'qs.q[i]')} > 0
+                                   THEN 1 << pl.plane_id ELSE 0 END)
+                          AS INTEGER) AS bucket
+              FROM qs CROSS JOIN planes pl GROUP BY query_id, pl.table_id
+            ),
+            probes AS (
+              SELECT query_id, table_id, xor(bucket, m.m) AS probe_bucket
+              FROM qb CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+            ),
+            cand AS (
+              SELECT DISTINCT p.query_id, c.vec_id
+              FROM cb c JOIN probes p ON c.bucket = p.probe_bucket
+                                     AND c.table_id = p.table_id
+              WHERE c.vec_id <> p.query_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     ROUND(list_dot_product(qs.q, emb.e)
+                           / (sqrt(list_dot_product(qs.q, qs.q))
+                              * sqrt(list_dot_product(emb.e, emb.e))), 6) AS cosine
+              FROM cand JOIN qs USING (query_id) JOIN emb USING (vec_id)
+            )
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= {k}
+    """
+
+
 def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str:
     """DuckDB replay of operators/graph.py ``random_walk`` over the fixture
     edges: the draw is argmin of the md5 hex digest of
@@ -1404,6 +1576,250 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
             FROM s{walk_len}
     """
     return sql
+
+
+def _paper_oracle_sql() -> str:
+    """DuckDB replay of operators/paper.py ``_parse_doc`` over the persisted
+    prepared paper source (split lineage): the stateful per-doc scan becomes
+    line/window algebra --
+
+      * T4 sectioning: ``re.split(r'(?=\\n##?\\s)')`` == group lines by a
+        running count of heading-line starts (zero-width split => the
+        heading line opens its section; RE2 has no lookahead, the line
+        model needs none);
+      * part-header / source-tag carry == ``last_value(... IGNORE NULLS)``
+        over sections in document order (the walk's only state);
+      * T5 anchors: lazy ``(?=##|$)`` lookaheads == cut at the first
+        ``strpos`` occurrence (identical semantics: shortest prefix);
+      * inline-【解析】 precedence, J5 type rules (ordered CASE), F5/F6
+        option predicate, and the T7 ###/numbered sub-split (sentinel
+        regexp_replace emulating the zero-width split) replay 1:1;
+      * the running q_index == row_number over (section, sub) order.
+
+    Parity envelope (all pinned by tests/test_paper.py, none reachable on
+    the deterministic fixture corpus): the GEO grammar branch (a level-1
+    section carrying 【答案】) is not replayed -- the fixture's level-1
+    sections are part headers only; heading detection assumes the heading
+    marker is followed by horizontal whitespace (the reference's own
+    format); whitespace classes are spelled explicitly (Java \\s includes
+    \\x0B, RE2's does not); a bare ``\\nN.\\nM.`` empty numbered item would
+    shift one split point (the sentinel consumes the lookahead's first
+    whitespace char) -- absent from the fixture's bodies."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    hws = "[ \\t\\x0b\\f\\r]"   # horizontal whitespace (python \\s minus \\n)
+    aws = "[ \\t\\n\\x0b\\f\\r]"  # python \\s, spelled out
+    return f"""
+            WITH src AS (
+              SELECT repo, path, "commit", sha, doc_id,
+                     trim(content, {ws}) AS body
+              FROM read_parquet('{_SPLIT_DIR}/paper_src/*.parquet')
+            ),
+            lines AS (
+              SELECT doc_id, i, ls[i] AS line
+              FROM (SELECT doc_id, ls,
+                           unnest(generate_series(1, len(ls))) AS i
+                    FROM (SELECT doc_id, string_split(body, chr(10)) AS ls
+                          FROM src))
+            ),
+            marked AS (
+              SELECT doc_id, i, line,
+                     CASE WHEN regexp_matches(line, '^##?{hws}')
+                          THEN 1 ELSE 0 END AS is_start
+              FROM lines
+            ),
+            secid AS (
+              SELECT *, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS sec_id
+              FROM marked
+            ),
+            secs0 AS (
+              SELECT doc_id, sec_id,
+                     string_agg(line, chr(10) ORDER BY i) AS sec_text,
+                     MIN(CASE WHEN is_start = 1 THEN line END) AS head_line
+              FROM secid GROUP BY doc_id, sec_id
+            ),
+            secs AS (
+              SELECT *,
+                     (head_line IS NOT NULL
+                      AND regexp_matches(head_line, '^#{hws}')) AS is_l1
+              FROM secs0
+              WHERE length(trim(sec_text, {ws})) > 0
+            ),
+            carried AS (
+              SELECT *,
+                     last_value(CASE WHEN is_l1 THEN head_line END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY sec_id
+                             ROWS UNBOUNDED PRECEDING) AS part_header,
+                     last_value(CASE WHEN is_l1 THEN
+                         nullif(regexp_extract(
+                           substring(chr(10) || sec_text, 1, 100),
+                           '【([^】]*[0-9]{{4}}[^】]*)】', 1), '') END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY sec_id
+                             ROWS UNBOUNDED PRECEDING) AS source_tag
+              FROM secs
+            ),
+            parsed AS (
+              SELECT doc_id, sec_id, sec_text, part_header, source_tag,
+                     regexp_extract(sec_text,
+                       '(?s)##{aws}*(.*?)【答案】', 1) AS q,
+                     strpos(sec_text, '【答案】') AS pos_a,
+                     strpos(sec_text, '【解析】') AS pos_x
+              FROM carried
+              WHERE NOT is_l1 AND head_line IS NOT NULL
+                AND regexp_matches(sec_text, '(?s)##{aws}*.*?【答案】')
+            ),
+            anchored AS (
+              SELECT *,
+                     substring(sec_text, pos_a + 4) AS rest_a,
+                     CASE WHEN pos_x > 0
+                          THEN substring(sec_text, pos_x + 4) END AS rest_x
+              FROM parsed
+            ),
+            cut AS (
+              SELECT *,
+                trim(CASE WHEN strpos(rest_a, '##') > 0
+                          THEN substring(rest_a, 1, strpos(rest_a, '##') - 1)
+                          ELSE rest_a END, {ws}) AS answer_raw,
+                CASE WHEN rest_x IS NULL THEN NULL
+                     ELSE trim(CASE
+                       WHEN strpos(rest_x, '##') > 0 AND strpos(rest_x, '【') > 0
+                         THEN substring(rest_x, 1,
+                                least(strpos(rest_x, '##'),
+                                      strpos(rest_x, '【')) - 1)
+                       WHEN strpos(rest_x, '##') > 0
+                         THEN substring(rest_x, 1, strpos(rest_x, '##') - 1)
+                       WHEN strpos(rest_x, '【') > 0
+                         THEN substring(rest_x, 1, strpos(rest_x, '【') - 1)
+                       ELSE rest_x END, {ws}) END AS analysis_blk
+              FROM anchored
+            ),
+            resolved AS (
+              SELECT *,
+                CASE WHEN strpos(answer_raw, '【解析】') > 0
+                     THEN trim(substring(answer_raw, 1,
+                               strpos(answer_raw, '【解析】') - 1), {ws})
+                     ELSE answer_raw END AS answer,
+                CASE WHEN strpos(answer_raw, '【解析】') > 0 THEN
+                       CASE WHEN trim(substring(answer_raw,
+                                 strpos(answer_raw, '【解析】') + 4), {ws}) <> ''
+                            THEN trim(substring(answer_raw,
+                                 strpos(answer_raw, '【解析】') + 4), {ws})
+                            ELSE nullif(analysis_blk, '') END
+                     ELSE analysis_blk END AS analysis
+              FROM cut
+            ),
+            typed AS (
+              SELECT *,
+                CASE
+                  WHEN contains(coalesce(part_header, ''), '完形填空')
+                    OR contains(substring(q, 1, 200), '完形填空')
+                    THEN '完形填空'
+                  WHEN contains(coalesce(part_header, ''), '七选五')
+                    OR contains(substring(q, 1, 200), '七选五')
+                    THEN '阅读理解七选五'
+                  WHEN contains(coalesce(part_header, ''), '阅读理解')
+                    OR contains(substring(q, 1, 200), '阅读理解')
+                    THEN '阅读理解'
+                  WHEN contains(coalesce(part_header, ''), '语法填空')
+                    OR contains(substring(q, 1, 200), '语法填空')
+                    THEN '语法填空'
+                END AS rule_type,
+                regexp_matches(q,
+                  '(?m)^{hws}*[ABCD][.、]{aws}') AS opt_hit
+              FROM resolved
+            ),
+            classified AS (
+              SELECT *,
+                coalesce(rule_type,
+                  CASE WHEN opt_hit THEN '选择题'
+                       ELSE '非选择题' END) AS question_type,
+                (rule_type IS NULL AND opt_hit) AS is_choice
+              FROM typed
+            ),
+            split0 AS (
+              SELECT *,
+                string_split(
+                  regexp_replace(
+                    regexp_replace(q, '(?m)^###{aws}+', chr(1), 'g'),
+                    chr(10) || '([0-9]+[.、]{aws})', chr(1) || '\\1', 'g'),
+                  chr(1)) AS parts
+              FROM classified
+            ),
+            split1 AS (
+              SELECT *,
+                trim(parts[1], {ws}) AS question_text,
+                list_filter(list_transform(parts[2:],
+                            x -> trim(x, {ws})), x -> x <> '') AS subs
+              FROM split0
+            ),
+            exploded AS (
+              SELECT doc_id, sec_id, question_text, answer, analysis,
+                     source_tag, question_type, is_choice,
+                     unnest(CASE WHEN len(subs) = 0
+                                 THEN [question_text] ELSE subs END)
+                       AS question,
+                     generate_subscripts(CASE WHEN len(subs) = 0
+                                 THEN [question_text] ELSE subs END, 1)
+                       AS sub_i
+              FROM split1
+            )
+            SELECT s.repo, s.path, s."commit", s.sha, e.doc_id,
+                   CAST(row_number() OVER (PARTITION BY e.doc_id
+                        ORDER BY e.sec_id, e.sub_i) - 1 AS INT) AS q_index,
+                   e.question_text, e.question, e.answer, e.analysis,
+                   e.source_tag, e.question_type, e.is_choice
+            FROM exploded e JOIN src s USING (doc_id)
+    """
+
+
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """DuckDB replay of operators/graph.py ``pagerank`` over the fixture
+    edge set (appended after ``_graph_edges_cte``): each damped iteration
+    unrolled — out-degree-weighted contribution sum, uniform dangling
+    redistribution, ROUND(·, 9) per round. The 9-dp rounding makes the
+    float fixpoint reduction-order-independent on both engines, so the
+    hash compare is exact (same argument as tests/test_graph.py's replay,
+    here promoted into the driver contract)."""
+    iters_sql = ""
+    for t in range(1, iters + 1):
+        p = t - 1
+        iters_sql += f"""
+            , contrib{t} AS (
+              SELECT e.dst AS node, SUM(r.rank * e.w) AS c
+              FROM w_edges e JOIN r{p} r ON e.node = r.node GROUP BY e.dst
+            ), dang{t} AS (
+              SELECT COALESCE(SUM(rank), 0.0) AS d FROM r{p}
+              WHERE node NOT IN (SELECT node FROM out_deg)
+            ), r{t} AS (
+              SELECT n.node,
+                     ROUND((1 - {damping}) / nn.n
+                           + {damping} * (COALESCE(c.c, 0.0)
+                                     + (SELECT d FROM dang{t}) / nn.n), 9) AS rank
+              FROM nodes n CROSS JOIN ncount nn
+              LEFT JOIN contrib{t} c ON n.node = c.node
+            )"""
+    return f"""
+            , pr_e AS (SELECT subj AS src, obj AS dst FROM edges),
+            nodes AS (
+              -- explicit outer DISTINCT: under a WITH RECURSIVE header
+              -- DuckDB runs a bare UNION between branches as UNION ALL
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM pr_e
+                UNION ALL
+                SELECT dst FROM pr_e
+              )
+            ),
+            ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            out_deg AS (SELECT src AS node, COUNT(*) AS deg
+                        FROM pr_e GROUP BY src),
+            w_edges AS (SELECT pr_e.src AS node, pr_e.dst, 1.0 / d.deg AS w
+                        FROM pr_e JOIN out_deg d ON pr_e.src = d.node),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM ncount) AS rank FROM nodes)
+            {iters_sql}
+            SELECT node, rank FROM r{iters}
+    """
 
 
 def _simhash_fingerprint_sql() -> str:
@@ -1717,6 +2133,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF-ANN with the Lloyd's fit itself inside the verified surface
         "ann_ivf_topk": _ivf_oracle_sql(),
+        # SRP-ANN with the sign bucketing itself inside the verified surface
+        # (dyadic-quantized planes over the exact-arithmetic fixture)
+        "ann_srp_topk": _srp_oracle_sql(),
         "q14_top_order_per_cust": """
             SELECT o_custkey, o_orderkey,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
@@ -1851,13 +2270,9 @@ def oracle_sql() -> dict[str, str]:
                            AS func_cnt
                   FROM documents)
         """,
-        "q25_orders_by_month": """
-            SELECT date_trunc('month', o_orderdate) AS month,
-                   COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                     AS total_cents
-            FROM orders GROUP BY 1
-        """,
+        # --- PageRank replayed iteration-by-iteration over the derived
+        # fixture edge set (promoted from tests/test_graph.py's replay) ---
+        "graph_pagerank": _graph_edges_cte + _pagerank_oracle_sql(iters=8),
         "q26_star_revenue": """
             SELECT c_mktsegment,
                    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
@@ -2259,6 +2674,39 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn FROM allt
             ) WHERE rn = 1
         """,
+        # split-lineage slicing oracle: chunk text independently re-cut from
+        # the section sentence stream; packing contract verified in SQL
+        # (see kg_chunks docstring)
+        "kg_chunks": f"""
+            WITH c AS (
+              SELECT * FROM read_parquet('{_SPLIT_DIR}/kg_chunks_up/*.parquet')
+            ),
+            w AS (
+              SELECT *,
+                row_number() OVER sec AS rn,
+                count(*) OVER (PARTITION BY doc_id, sec_ord) AS n_in_sec,
+                lead(stream_start) OVER sec AS next_start
+              FROM c
+              WINDOW sec AS (PARTITION BY doc_id, sec_ord ORDER BY ord)
+            )
+            SELECT repo, path, "commit", lang, sha, doc_id, chunk_id, ord,
+                   "level", parent_title, section_title, is_root,
+                   section_kind, char_start, char_len,
+                   substring(sec_stream, CAST(stream_start + 1 AS INT),
+                             char_len) AS text,
+                   (char_len BETWEEN 1 AND 1000
+                    AND (rn = n_in_sec OR char_len >= 600)) AS len_ok,
+                   (CASE WHEN rn = 1 THEN stream_start = 0 ELSE TRUE END
+                    AND CASE WHEN rn = n_in_sec
+                          THEN stream_start + char_len = length(sec_stream)
+                          ELSE (next_start - (stream_start + char_len)) IN (0, 1)
+                               AND ((next_start - (stream_start + char_len)) = 0
+                                    OR substring(sec_stream,
+                                         CAST(stream_start + char_len + 1 AS INT),
+                                         1) = ' ')
+                        END) AS cov_ok
+            FROM w
+        """,
         "kg_chunk_stats": f"""
             WITH chunks AS (
               SELECT repo, lang, char_len
@@ -2415,6 +2863,9 @@ def oracle_sql() -> dict[str, str]:
                    "commit", sha, chunk_id
             FROM read_parquet('{_SPLIT_DIR}/add_content_oneshot/*.parquet')
         """,
+        # split-lineage: the prepared paper source persists; DuckDB replays
+        # the ENTIRE question grammar from it (see _paper_oracle_sql)
+        "paper_questions": _paper_oracle_sql(),
         "paper_knowledge_edges": f"""
             WITH q AS (
               SELECT * FROM read_parquet('{_SPLIT_DIR}/paper_questions_up/*.parquet')

@@ -300,3 +300,115 @@ def test_incremental_embedding_store(spark):
         assert after["z9"] == ("z9", True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_minhash_self_contained_store(spark):
+    """r5: a store_text store needs NO caller-supplied cumulative corpus --
+    candidate verification reads old text from the store's own texts table,
+    including text that arrived in a LATER batch (the scenario that used to
+    require passing every earlier batch)."""
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_documents,
+        write_dedup_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby "
+    ) * 6
+    other = (
+        "completely different words describing an entirely distinct topic "
+        "with no overlapping shingles whatsoever in this standalone text "
+    ) * 6
+    out = tempfile.mkdtemp(prefix="tckg_incself_")
+    try:
+        write_dedup_store(spark, _corpus_of(spark, [("m1", base)]), out,
+                          strategy="minhash")
+        add_documents(spark, out, _corpus_of(spark, [("q1", other)]))
+        # near-dup of q1 (batch 2): verification must read q1's text from
+        # the STORE -- no old_corpus anywhere
+        add_documents(spark, out, _corpus_of(spark, [("r1", other + "tiny suffix.")]))
+        d = {r.id: (r.keeper, r.keep)
+             for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert d["r1"] == ("q1", False)
+        assert d["m1"] == ("m1", True) and d["q1"] == ("q1", True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_add_idempotent_and_crash_safe(spark):
+    """r5 commit protocol: (1) replaying an already-curated batch is a
+    no-op (duplicate-id guard -- no conflicting decision rows); (2) a crash
+    between the side-table renames and the decisions rename leaves only
+    orphan dirs that no reader surfaces, and retrying the batch heals the
+    store."""
+    import os
+
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_documents,
+        committed_batches,
+        write_dedup_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby "
+    ) * 6
+    out = tempfile.mkdtemp(prefix="tckg_inccrash_")
+    try:
+        b1 = _corpus_of(spark, [("m1", base)])
+        b2 = _corpus_of(spark, [("p1", base + "varied ending here.")])
+        write_dedup_store(spark, b1, out, strategy="minhash")
+
+        # (1) idempotent replay of batch 1
+        stats = add_documents(spark, out, b1)
+        assert stats["new_docs"] == 0 and stats["already_curated"] == 1
+        rows = spark.read.parquet(f"{out}/dedup_decisions").collect()
+        assert len(rows) == 1  # no duplicate decision rows
+
+        # (2) simulate a crash AFTER the sigs/texts renames but BEFORE the
+        # decisions rename: commit batch 2 fully, then delete its decisions
+        # dir (the commit marker) -- sigs/texts for p1 become orphans
+        before = set(committed_batches(out))
+        add_documents(spark, out, b2)
+        (bid2,) = set(committed_batches(out)) - before
+        shutil.rmtree(os.path.join(out, "dedup_decisions", f"batch={bid2}"))
+
+        # orphaned side tables are invisible: decisions show only batch 1
+        d = {r.id for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert d == {"m1"}
+
+        # retrying batch 2 heals -- p1 is reprocessed (not skipped) and
+        # still links to the OLD keeper through the store's own texts
+        stats = add_documents(spark, out, b2)
+        assert stats["new_docs"] == 1 and stats["already_curated"] == 0
+        final = {r.id: (r.keeper, r.keep)
+                 for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert final["p1"] == ("m1", False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_embeddings_self_contained(spark):
+    """r5: add_embeddings verifies against the store's own embeddings table
+    when no old_corpus is passed."""
+    from textchunking_and_knowledgegraph_spark.plans.incremental_dedup import (
+        add_embeddings,
+        write_embedding_store,
+    )
+
+    def _emb(spark, rows):
+        return spark.createDataFrame(rows, "id string, embedding array<double>")
+
+    out = tempfile.mkdtemp(prefix="tckg_incembself_")
+    try:
+        b1 = _emb(spark, [("e1", [1.0, 0.0, 0.0, 0.0]), ("e2", [0.0, 1.0, 0.0, 0.0])])
+        write_embedding_store(spark, b1, out, threshold=0.95)
+        b2 = _emb(spark, [("f1", [0.999, 0.01, 0.0, 0.0])])  # ~= e1
+        stats = add_embeddings(spark, out, b2)
+        assert stats["new_docs"] == 1 and stats["new_duplicates_dropped"] == 1
+        d = {r.id: (r.keeper, r.keep)
+             for r in spark.read.parquet(f"{out}/dedup_decisions").collect()}
+        assert d["f1"] == ("e1", False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -6,6 +6,9 @@ slow, so Spark properties use a fixed seeded batch through one job)."""
 
 import random
 import string
+import sys
+
+import pytest
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -228,3 +231,128 @@ def test_wav_roundtrip_property(samples, rate):
 
     out, r = decode_wav(encode_wav(samples, rate))
     assert r == rate and out.shape == samples.shape and (out == samples).all()
+
+
+# round-5 codecs/spans: PNG identity over every scanline filter and color
+# layout; pack_spans slice-equivalence with pack_chunks (the kg_chunks
+# oracle's foundation); dyadic SRP sign exactness (the ann_srp_topk
+# oracle's foundation)
+
+@_settings_codec(deadline=None, max_examples=40)
+@_given_codec(
+    _hnp.arrays(
+        dtype="uint8",
+        shape=_st_codec.tuples(
+            _st_codec.integers(1, 9),
+            _st_codec.integers(1, 9),
+            _st_codec.sampled_from([1, 3, 4]),
+        ),
+    ),
+    _st_codec.integers(0, 4),
+)
+def test_png_roundtrip_property(img, filter_type):
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    if img.shape[2] == 1:
+        img = img[:, :, 0]  # grayscale layout
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_rejects_unsupported_variants():
+    import struct as _s
+
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(_np.zeros((2, 2, 3), _np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"junkjunkjunk")
+    # flip the IHDR color type to palette (3): must reject, not misread
+    ihdr_at = 8 + 8
+    body = bytearray(good)
+    body[ihdr_at + 9] = 3
+    with pytest.raises(ValueError):
+        decode_png(bytes(body))
+    with pytest.raises(ValueError):
+        decode_png(good[:30])  # truncated
+
+
+@_settings_codec(deadline=None, max_examples=80)
+@_given_codec(
+    _st_codec.lists(
+        _st_codec.text(
+            alphabet=_st_codec.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_pack_spans_matches_pack_chunks(sentences):
+    """The kg_chunks oracle's foundation: pack_spans' stream slices must
+    equal pack_chunks' output byte-for-byte for ANY sentence list, and the
+    spans must satisfy the coverage contract the oracle checks in SQL
+    (start at 0, gaps in {0,1} with the gap char == joiner, end == stream
+    end unless the final buffer was whitespace-only)."""
+    from textchunking_and_knowledgegraph_spark.operators.chunker import (
+        pack_chunks,
+        pack_spans,
+    )
+
+    want = pack_chunks(sentences)
+    stream, spans = pack_spans(sentences)
+    got = [stream[a:a + n] for a, n in spans]
+    assert got == want
+    prev_end = None
+    for a, n in spans:
+        assert n >= 1
+        if prev_end is None:
+            assert a == 0
+        else:
+            gap = a - prev_end
+            assert gap in (0, 1)
+            if gap == 1:
+                assert stream[prev_end] == " "
+        prev_end = a + n
+    if spans and not stream[prev_end:].strip():
+        pass  # trailing whitespace-only remainder is legitimately dropped
+    elif spans:
+        assert prev_end == len(stream)
+
+
+def test_srp_dyadic_signs_exact_in_any_order():
+    """The ann_srp_topk oracle's exactness argument, checked directly:
+    quantized hyperplanes x the 0.25-grid fixture give plane dots that are
+    exact dyadics, so EVERY summation order produces the identical float64
+    -- no near-zero sign flip is possible."""
+    import itertools
+
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.dedup import _hyperplanes
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _ivf_fixture
+
+    corpus, queries = _ivf_fixture()
+    vecs = [v for _, v in corpus + queries]
+    for t in range(2):
+        planes = _hyperplanes(4, 8, seed=7 + t, quantize=True)
+        assert (planes == _np.round(planes * 1024) / 1024).all()
+        for v in vecs:
+            for p in planes:
+                terms = [float(x) * float(y) for x, y in zip(v, p)]
+                sums = {sum(perm) for perm in itertools.permutations(terms)}
+                assert len(sums) == 1  # reduction order cannot matter
+                assert sum(terms) != 0.0 or True  # zero is fine: exact on both engines

@@ -130,17 +130,23 @@ def main(argv: list[str] | None = None) -> int:
                          "keep/drop decisions over the source (exact sha "
                          "groups, MinHash-LSH near-dups, or SimHash) and "
                          "write <output>/dedup_decisions; no KG build")
-    ap.add_argument("--dedup-threshold", type=float, default=0.7,
-                    help="minhash Jaccard threshold (ignored by exact/simhash)")
+    ap.add_argument("--dedup-threshold", type=float, default=None,
+                    help="minhash Jaccard threshold, default 0.7 (ignored by "
+                         "exact/simhash; with --add-content the STORE's "
+                         "threshold is authoritative -- passing a different "
+                         "value is an error, not a silent no-op)")
     ap.add_argument("--write-deduped", action="store_true",
                     help="with --dedup: also write the keep=true source rows "
                          "to <output>/deduped")
     ap.add_argument("--old-source", default=None,
-                    help="with --dedup --add-content (minhash): the CUMULATIVE "
-                         "prior corpus (all earlier batches) -- candidate "
-                         "verification reads old text selectively by id join; "
-                         "a coverage guard fails loudly if any earlier batch "
-                         "is missing")
+                    help="with --dedup --add-content (minhash): OPTIONAL "
+                         "override of the store's own texts table -- the "
+                         "CUMULATIVE prior corpus (all earlier batches), for "
+                         "stores built with store_text=False; candidate "
+                         "verification reads old text selectively by id join "
+                         "and a coverage guard fails loudly if any earlier "
+                         "batch is missing. Stores built by this CLI are "
+                         "self-contained (store_text=True): omit it.")
     args = ap.parse_args(argv)
 
     spark = build_session(app_name="tckg-job", master=args.master)
@@ -192,6 +198,13 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error(f"store at {args.output} was built with "
                          f"--dedup {stored['strategy']}; requested "
                          f"{args.dedup} (strategy is fixed at store build)")
+            if (args.dedup_threshold is not None
+                    and args.dedup_threshold != stored.get("threshold")):
+                ap.error(f"--dedup-threshold {args.dedup_threshold} conflicts "
+                         f"with the store's threshold "
+                         f"{stored.get('threshold')}; incremental adds always "
+                         "use the stored parameters (rebuild the store to "
+                         "change them)")
             old = None
             if args.old_source:
                 if args.docs_table:
@@ -210,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
             stats = run_dedup(
                 spark, src_df, args.output,
                 strategy=args.dedup,
-                threshold=args.dedup_threshold,
+                threshold=(0.7 if args.dedup_threshold is None
+                           else args.dedup_threshold),
                 write_deduped=args.write_deduped,
             )
         stats["seconds"] = round(time.time() - t0, 2)

@@ -57,8 +57,14 @@ def srp_topk(
     n_planes: int = 8,
     n_probe: int = 8,
     n_tables: int = 2,
+    quantize: bool = False,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine within the probed buckets only.
+
+    ``quantize=True`` snaps the hyperplane coefficients to dyadic rationals
+    (multiples of 2^-10, see dedup._hyperplanes) -- the oracle opt-in that
+    makes every sign bit exactly replayable in external SQL when the
+    embeddings are dyadic too; the corpus-scale default keeps raw normals.
 
     Two recall levers, both candidate-bounded:
 
@@ -78,11 +84,11 @@ def srp_topk(
     floor); clustered real-world embeddings fare much better."""
     c = with_sign_buckets(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")),
-        "c_emb", n_planes=n_planes, n_tables=n_tables,
+        "c_emb", n_planes=n_planes, n_tables=n_tables, quantize=quantize,
     ).withColumnRenamed("bucket", "c_bucket")
     q = with_sign_buckets(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
-        "q_emb", n_planes=n_planes, n_tables=n_tables,
+        "q_emb", n_planes=n_planes, n_tables=n_tables, quantize=quantize,
     ).withColumnRenamed("bucket", "q_bucket")
 
     import math

@@ -41,7 +41,20 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import types as T
+
 from ..sources.io import CHUNK_SCHEMA
+
+# contract/verification twin of CHUNK_SCHEMA: + slicing provenance so the
+# kg_chunks oracle can re-cut chunk text from the section sentence stream
+CHUNK_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("sec_ord", T.IntegerType(), False),
+        T.StructField("stream_start", T.LongType(), False),
+        T.StructField("sec_stream", T.StringType(), False),
+        *CHUNK_SCHEMA.fields,
+    ]
+)
 
 # -- frozen policy constants (reference `_check_len`) -------------------------
 MIN_LEN = 600
@@ -148,6 +161,62 @@ def pack_chunks(
     return chunks
 
 
+def pack_spans(
+    sentences: list[str],
+    min_len: int = MIN_LEN,
+    target_max: int = TARGET_MAX,
+    hard_max: int = HARD_MAX,
+    joiner: str = " ",
+) -> tuple[str, list[tuple[int, int]]]:
+    """Span-tracking twin of ``pack_chunks`` (overlap=0 only): returns the
+    joined sentence stream plus (start, len) spans such that
+    ``[stream[a:a+n] for a, n in spans] == pack_chunks(sentences)`` (pinned
+    by a hypothesis property test AND re-asserted inside the contract UDF).
+
+    The spans make the packing's OUTPUT relationship independently
+    checkable in plain SQL: every chunk is a contiguous slice of the
+    stream; consecutive chunks leave a gap of exactly one joiner char at a
+    soft boundary and zero at a hard split; the first chunk starts at 0 and
+    the last ends at the stream end -- the kg_chunks oracle re-cuts the
+    text with substr and verifies coverage + the [1,1000]/>=600 length
+    contract from these facts alone."""
+    sents = [s for s in sentences if s]
+    stream = joiner.join(sents)
+    spans: list[tuple[int, int]] = []
+    pos = 0    # stream offset where the current buffer starts
+    blen = 0   # current buffer length
+    off = 0    # stream offset of the current sentence
+    for s in sents:
+        s_start = off
+        off += len(s) + len(joiner)
+        if blen == 0:
+            pos, blen = s_start, len(s)
+        elif blen + len(joiner) + len(s) <= target_max:
+            blen += len(joiner) + len(s)
+        elif blen >= min_len:
+            spans.append((pos, blen))
+            pos, blen = s_start, len(s)
+        else:
+            blen += len(joiner) + len(s)  # SMALL absorb
+        while blen > hard_max:  # LARGE: hard split at the target ceiling
+            spans.append((pos, target_max))
+            pos += target_max
+            blen -= target_max
+    if blen and stream[pos : pos + blen].strip():
+        spans.append((pos, blen))
+    return stream, spans
+
+
+def chunk_text_spans(text: str, code: bool = False) -> tuple[str, list[tuple[int, int]]]:
+    """``chunk_text`` with provenance: (sentence stream, chunk spans).
+    Contract/verification path only -- the engine path stays chunk_text."""
+    if code:
+        return pack_spans(split_sentences(text, code=True))
+    protected, saved = protect_blocks(text)
+    sents = [restore_blocks(s, saved) for s in split_sentences(protected)]
+    return pack_spans(sents)
+
+
 def chunk_text(text: str, code: bool = False, overlap: int = 0) -> list[str]:
     """Protect atomic blocks -> split sentences -> restore per sentence ->
     pack. Restoring before packing mirrors the reference (which rebuilds the
@@ -219,8 +288,14 @@ def parse_sections(text: str, fallback_title: str) -> list[_Section]:
     return sections
 
 
-def _chunk_row(row: dict, overlap: int) -> Iterator[dict]:
-    """One source row -> chunk rows. Pure function, runs inside mapInPandas."""
+def _chunk_row(row: dict, overlap: int, with_spans: bool = False) -> Iterator[dict]:
+    """One source row -> chunk rows. Pure function, runs inside mapInPandas.
+
+    ``with_spans=True`` (contract/verification path, overlap=0 only)
+    additionally emits (sec_ord, stream_start, sec_stream) provenance and
+    asserts in-UDF that the span slices reproduce the engine path's chunks
+    byte-for-byte -- so the split-lineage parquet can never drift from what
+    ``chunk_text`` actually emits."""
     content = row["content"] or ""
     lang = (row["lang"] or "").lower()
     code = lang in _CODE_LANGS
@@ -231,14 +306,32 @@ def _chunk_row(row: dict, overlap: int) -> Iterator[dict]:
         return
     ord_ = 0
     char_start = 0
-    for sec in sections:
+    for sec_ord, sec in enumerate(sections):
         body = "\n".join(sec.lines)
         if not body.strip():
             continue
-        for chunk in chunk_text(body, code=code, overlap=overlap):
+        if with_spans:
+            stream, spans = chunk_text_spans(body, code=code)
+            pieces = [(stream[a : a + n], a) for a, n in spans]
+            engine = chunk_text(body, code=code, overlap=0)
+            if [p[0] for p in pieces] != engine:
+                raise AssertionError(
+                    f"pack_spans diverged from pack_chunks for doc "
+                    f"{row['doc_id']} section {sec_ord}"
+                )
+        else:
+            pieces = [(c, None) for c in chunk_text(body, code=code, overlap=overlap)]
+        for chunk, stream_start in pieces:
             if not chunk.strip():
                 continue  # F7 empty-chunk filter
+            extra = (
+                {"sec_ord": sec_ord, "stream_start": stream_start,
+                 "sec_stream": stream}
+                if with_spans
+                else {}
+            )
             yield {
+                **extra,
                 "repo": row["repo"],
                 "path": row["path"],
                 "commit": row["commit"],
@@ -260,24 +353,34 @@ def _chunk_row(row: dict, overlap: int) -> Iterator[dict]:
             ord_ += 1
 
 
-def chunk_documents(source: DataFrame, overlap: int = 0) -> DataFrame:
+def chunk_documents(
+    source: DataFrame, overlap: int = 0, with_spans: bool = False
+) -> DataFrame:
     """source table (+sha, doc_id) -> chunk table.
 
     ``mapInPandas`` (Arrow-batched): embarrassingly parallel at file
     granularity, zero shuffle. Upstream callers apply
     ``sources.io.salted_repartition`` when the repo distribution is skewed.
-    """
+
+    ``with_spans=True`` (contract/verification path, overlap=0 only) adds
+    (sec_ord, stream_start, sec_stream) provenance columns so an external
+    SQL oracle can re-cut every chunk from its section's sentence stream
+    and verify coverage + the length contract (see pack_spans)."""
+    if with_spans and overlap:
+        raise ValueError("with_spans supports overlap=0 only (spans are "
+                         "contiguous stream slices)")
     cols = ["repo", "path", "commit", "lang", "sha", "doc_id", "content"]
+    schema = CHUNK_SPAN_SCHEMA if with_spans else CHUNK_SCHEMA
 
     def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        field_names = [f.name for f in CHUNK_SCHEMA.fields]
+        field_names = [f.name for f in schema.fields]
         for pdf in batches:
             out: list[dict] = []
             for row in pdf[cols].to_dict("records"):
-                out.extend(_chunk_row(row, overlap))
+                out.extend(_chunk_row(row, overlap, with_spans=with_spans))
             yield pd.DataFrame(out, columns=field_names)
 
-    return source.select(*cols).mapInPandas(_map_batches, schema=CHUNK_SCHEMA)
+    return source.select(*cols).mapInPandas(_map_batches, schema=schema)
 
 
 def chunk_length_stats(chunks: DataFrame) -> DataFrame:

@@ -551,9 +551,22 @@ def ngram_jaccard_exact(
 # embedding cosine near-dup (sign-LSH blocking at scale, exact verify)
 # ---------------------------------------------------------------------------
 
-def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+def _hyperplanes(
+    dim: int, n_planes: int = 16, seed: int = 7, quantize: bool = False
+) -> np.ndarray:
+    """Seeded SRP hyperplanes. ``quantize=True`` snaps every coefficient to
+    a dyadic rational (multiple of 2^-10): statistically indistinguishable
+    from the raw normals for LSH purposes, but every coefficient is then
+    EXACTLY representable in float64 *and* as a short decimal literal, so an
+    external SQL oracle can inline the planes and recompute sign bits with
+    provably reduction-order-independent arithmetic when the embeddings are
+    themselves dyadic (the ann_srp_topk contract fixture) -- the same
+    exactness trade ann._ivf_fixture makes."""
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    if quantize:
+        planes = np.round(planes * 1024.0) / 1024.0
+    return planes
 
 
 def with_sign_bucket(
@@ -579,7 +592,11 @@ def with_sign_bucket(
 
 
 def with_sign_buckets(
-    df: DataFrame, emb_col: str = "embedding", n_planes: int = 16, n_tables: int = 1
+    df: DataFrame,
+    emb_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 1,
+    quantize: bool = False,
 ) -> DataFrame:
     """Multi-table SRP: ``n_tables`` independent plane sets in ONE UDF pass,
     exploded to (table_id, bucket) rows. Standard LSH-forest recall lever --
@@ -594,7 +611,7 @@ def with_sign_buckets(
         mat = np.stack(embs.to_numpy())
         out = np.empty((mat.shape[0], n_tables), dtype=np.int32)
         for t in range(n_tables):
-            planes = _hyperplanes(mat.shape[1], n_planes, seed=7 + t)
+            planes = _hyperplanes(mat.shape[1], n_planes, seed=7 + t, quantize=quantize)
             signs = (mat @ planes.T) > 0
             out[:, t] = (signs * (1 << np.arange(n_planes))).sum(axis=1)
         return pd.Series(list(out))

@@ -6,10 +6,12 @@ stages. The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested.
 
 Codecs: ``real_decoder`` (the ``strict_decoder`` default) is a genuine
-pure-numpy decode for the header-parsable formats -- BMP (24-bit BI_RGB) and
-PPM/PGM binary for images, RIFF/WAVE PCM (8/16-bit) for audio. No external
-codec library is involved. VIDEO remains honestly stubbed: demuxing an mp4
-needs a container library this environment doesn't have, so the strict path
+pure-numpy decode for the self-containable formats -- PNG (bit depth 8,
+gray/RGB/alpha variants: stdlib zlib inflate + numpy unfiltering of all five
+scanline filters), BMP (24-bit BI_RGB) and PPM/PGM binary for images,
+RIFF/WAVE PCM (8/16-bit) for audio. No external codec library is involved.
+JPEG and VIDEO remain honestly stubbed: JPEG entropy decode and mp4 demuxing
+need codec libraries this environment doesn't have, so the strict path
 raises there and ``fake_decoder`` is the deterministic stand-in for tests.
 """
 
@@ -158,6 +160,157 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_channels(color_type: int) -> int:
+    try:
+        return {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    except KeyError:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette/indexed "
+            "images need a PLTE decode path)"
+        ) from None
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), vectorized over a pixel's bytes."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array -> PNG (bit depth 8, no interlace): HxW -> grayscale,
+    HxWx3 -> RGB, HxWx4 -> RGBA. ``filter_type`` (0..4) applies that scanline
+    filter to every row -- 0 (None) is the fast path; the other four exist so
+    the round-trip property tests exercise every unfilter branch of
+    ``decode_png`` against an independent forward implementation."""
+    import zlib
+
+    if pixels.ndim == 2:
+        color_type = 0
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type = 2
+    elif pixels.ndim == 3 and pixels.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError("encode_png expects HxW, HxWx3 or HxWx4 uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter {filter_type}")
+    h, w = pixels.shape[:2]
+    ch = _png_channels(color_type)
+    raw = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * ch)
+    zero = np.zeros(w * ch, dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        cur = raw[y]
+        up = raw[y - 1] if y else zero
+        left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.uint8), up[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub
+            filt = cur - left
+        elif filter_type == 2:  # Up
+            filt = cur - up
+        elif filter_type == 3:  # Average
+            filt = cur - ((left.astype(np.uint16) + up) // 2).astype(np.uint8)
+        else:  # Paeth
+            filt = cur - _paeth(left, up, upleft)
+        lines.append(filter_type)
+        lines.extend(filt.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (bit depth 8, color type gray/RGB/gray+alpha/RGBA, no interlace)
+    -> uint8 array of shape HxW / HxWx3 / HxWx2 / HxWx4. Pure stdlib zlib
+    inflate + numpy per-scanline unfiltering (all five PNG filters);
+    palette, 16-bit, and interlaced variants are rejected loudly rather
+    than misread. Ancillary chunks are skipped by walking the chunk list,
+    matching real-world files."""
+    import zlib
+
+    if payload is None or len(payload) < len(_PNG_SIG) + 12 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    ch = _png_channels(color_type)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    scan = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(scan[y, 0]), scan[y, 1:]
+        up = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = row
+        elif f == 2:  # Up
+            out[y] = row + up
+        elif f == 1:  # Sub: sequential in pixels, vectorized over channels
+            acc = np.zeros(ch, np.uint8)
+            for x in range(0, stride, ch):
+                acc = row[x:x + ch] + acc
+                out[y, x:x + ch] = acc
+        elif f == 3:  # Average
+            for x in range(0, stride, ch):
+                left = out[y, x - ch:x] if x else np.zeros(ch, np.uint8)
+                avg = ((left.astype(np.uint16) + up[x:x + ch]) // 2).astype(np.uint8)
+                out[y, x:x + ch] = row[x:x + ch] + avg
+        elif f == 4:  # Paeth
+            for x in range(0, stride, ch):
+                left = out[y, x - ch:x] if x else np.zeros(ch, np.uint8)
+                upleft = up[x - ch:x] if x else np.zeros(ch, np.uint8)
+                out[y, x:x + ch] = row[x:x + ch] + _paeth(left, up[x:x + ch], upleft)
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+    return out.reshape((h, w) if ch == 1 else (h, w, ch)).copy()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """int16 (n,) or (n, channels) PCM samples -> RIFF/WAVE."""
     s = np.asarray(samples, dtype="<i2")
@@ -217,18 +370,26 @@ def _hist16_feature(values: np.ndarray) -> list[float]:
 
 
 def real_decoder(payload: bytes, kind: str) -> dict:
-    """Genuine decode for image (BMP / binary PPM / PGM, sniffed by magic)
-    and audio (RIFF/WAVE PCM). Features: image -> 16-bin histogram of the
-    integer channel-mean luma; audio -> 16-bin histogram of samples mapped
-    to byte range ((s + 32768) >> 8). Video raises: mp4/mkv demuxing needs
-    a container library this environment does not provide."""
+    """Genuine decode for image (PNG / BMP / binary PPM / PGM, sniffed by
+    magic) and audio (RIFF/WAVE PCM). Features: image -> 16-bin histogram of
+    the integer channel-mean luma (alpha excluded); audio -> 16-bin
+    histogram of samples mapped to byte range ((s + 32768) >> 8). Video
+    raises: mp4/mkv demuxing needs a container library this environment
+    does not provide."""
     if kind == "image":
-        if payload is not None and payload[:2] == b"BM":
+        if payload is not None and payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+        elif payload is not None and payload[:2] == b"BM":
             img = decode_bmp(payload)
         else:
             img = decode_ppm(payload)
         h, w = img.shape[:2]
-        luma = img if img.ndim == 2 else img.astype(np.uint16).sum(axis=2) // 3
+        if img.ndim == 3 and img.shape[2] in (2, 4):  # drop alpha for luma
+            img = img[:, :, :-1]
+        luma = (
+            img if img.ndim == 2
+            else img.astype(np.uint16).sum(axis=2) // img.shape[2]
+        )
         return {"width": int(w), "height": int(h), "n_frames": 1,
                 "feature": _hist16_feature(luma)}
     if kind == "audio":

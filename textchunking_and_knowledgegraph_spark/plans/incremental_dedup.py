@@ -4,11 +4,27 @@ the corpus grows in batches; recomputing dedup over everything per batch is
 O(corpus) per ingest, while this flow is O(new batch) signature work plus
 candidate joins against the (compact) signature store.
 
-Store layout under ``<store>/``:
-  dedup_decisions/      (id, keeper, keep)      every document ever seen
-  sigs/                 (id, sig array<long>)   minhash strategy only
-  exact_keeper/         (sha, keeper)           exact strategy only
-  _dedup_params.json    strategy + minhash parameters (validated on add)
+Store layout under ``<store>/`` (v2 -- batch-committed):
+  dedup_decisions/batch=<bid>/  (id, keeper, keep)   every committed batch
+  sigs/batch=<bid>/             (id, sig)            minhash strategy
+  texts/batch=<bid>/            (id, text)           minhash + store_text
+  exact_keeper/batch=<bid>/     (sha, keeper)        exact strategy
+  emb_buckets/batch=<bid>/      (id, table_id, bucket)  embedding strategy
+  embeddings/batch=<bid>/       (id, emb)            embedding + store_embeddings
+  _dedup_params.json            strategy + parameters (validated on add)
+
+Commit protocol (crash-safe, retry-idempotent): every table's batch is
+written to a dot-prefixed staging dir (invisible to Spark's file listing)
+and atomically renamed to ``batch=<bid>``; the DECISIONS rename happens
+LAST and *is* the commit point -- the committed-batch set is exactly the
+set of ``dedup_decisions/batch=*`` dirs, and every internal read of
+sigs/texts/buckets filters to that set. A crash mid-add leaves only
+orphaned side-table dirs that no reader ever sees; retrying the batch is
+safe because ``add_*`` first anti-joins the incoming ids against the
+committed decisions and skips already-curated documents (reported as
+``already_curated``). Plain ``spark.read.parquet(<store>/dedup_decisions)``
+keeps working for external consumers (``batch`` surfaces as a partition
+column).
 
 Semantics -- first-seen-wins, the standard streaming-curation contract:
   * existing decisions are IMMUTABLE: a new document can join an existing
@@ -26,10 +42,12 @@ batch only (Arrow UDF); candidate generation is an equi-join of the new
 band keys against old+new band keys with the same oversized-bucket star cap
 as the batch operator; the signature prefilter keeps Python off all but
 near-threshold pairs; exact verification reads OLD text selectively -- a
-join of the surviving candidate ids back into the caller-supplied prior
-corpus, never a full old-corpus pass. ``old_corpus`` must be CUMULATIVE
-(every earlier batch, not just the initial one) -- a coverage guard raises
-if any candidate endpoint lacks text rather than silently keeping a true
+join of the surviving candidate ids against the store's OWN texts table
+(``store_text=True``, the default: the store is operationally
+self-contained, no caller-supplied cumulative corpus needed). Callers that
+cannot afford the store-side text copy build with ``store_text=False`` and
+pass the CUMULATIVE prior corpus per add; a coverage guard raises if any
+candidate endpoint lacks text rather than silently keeping a true
 near-duplicate.
 """
 
@@ -37,6 +55,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,13 +76,89 @@ _PARAMS = "_dedup_params.json"
 
 def _write_params(store: str, params: dict) -> None:
     os.makedirs(store, exist_ok=True)
-    with open(os.path.join(store, _PARAMS), "w") as f:
+    tmp = os.path.join(store, f".{_PARAMS}.tmp")
+    with open(tmp, "w") as f:
         json.dump(params, f)
+    os.replace(tmp, os.path.join(store, _PARAMS))  # atomic publish
 
 
 def read_params(store: str) -> dict:
     with open(os.path.join(store, _PARAMS)) as f:
         return json.load(f)
+
+
+def _new_batch_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def committed_batches(store: str) -> list[str]:
+    """Batch ids whose DECISIONS rename completed -- the commit point."""
+    d = os.path.join(store, "dedup_decisions")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        e[len("batch="):] for e in os.listdir(d) if e.startswith("batch=")
+    )
+
+
+def _publish(df: DataFrame, store: str, table: str, batch_id: str) -> None:
+    """Write ``df`` to a dot-prefixed staging dir (ignored by Spark's file
+    listing) and atomically rename it into place. For every table except
+    dedup_decisions the rename is provisional -- readers ignore batches
+    with no committed decisions sibling; the decisions rename IS the
+    commit."""
+    tdir = os.path.join(store, table)
+    os.makedirs(tdir, exist_ok=True)
+    staging = os.path.join(tdir, f".staging_{batch_id}")
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(tdir, f"batch={batch_id}"))
+
+
+def _read_store_table(
+    spark: SparkSession, store: str, table: str
+) -> DataFrame | None:
+    """Read a store table restricted to COMMITTED batches (side-table dirs
+    orphaned by a crash between renames are never surfaced). Returns None
+    when no committed batch carries the table."""
+    paths = [
+        os.path.join(store, table, f"batch={b}")
+        for b in committed_batches(store)
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def read_decisions(spark: SparkSession, store: str) -> DataFrame:
+    """Committed (id, keeper, keep) decisions across all batches."""
+    d = _read_store_table(spark, store, "dedup_decisions")
+    if d is None:
+        raise FileNotFoundError(f"no committed decisions under {store}")
+    return d.select("id", "keeper", "keep")
+
+
+def _decision_stats(spark: SparkSession, store: str, batch_id: str) -> tuple[int, int]:
+    """(n, kept) of one committed batch -- ONE aggregation pass over the
+    read-back (the v1 layout ran two full .count() scans)."""
+    d = spark.read.parquet(os.path.join(store, "dedup_decisions", f"batch={batch_id}"))
+    row = d.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias("kept"),
+    ).first()
+    return int(row.n), int(row.kept)
+
+
+def _clear_store(store: str) -> None:
+    """Overwrite semantics for the write_* builders: drop any prior store
+    content (tables + params) before building fresh."""
+    if os.path.isdir(store):
+        for e in os.listdir(store):
+            p = os.path.join(store, e)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif e == _PARAMS:
+                os.remove(p)
 
 
 def _exact_decisions(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -82,21 +178,28 @@ def write_dedup_store(
     n_perm: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    store_text: bool = True,
 ) -> dict:
     """Full dedup of ``corpus`` (id, text) + persist the incremental store.
     Returns counting stats. The decisions parquet is the curation output;
     the sigs / exact_keeper tables are what ``add_documents`` joins new
-    batches against."""
+    batches against. ``store_text=True`` (default) also persists (id, text)
+    so later ``add_documents`` calls verify candidates against the store's
+    own texts -- no caller-supplied cumulative corpus."""
+    _clear_store(store)
+    bid = _new_batch_id()
     if strategy == "exact":
         decisions, keepers = _exact_decisions(corpus)
-        keepers.write.mode("overwrite").parquet(f"{store}/exact_keeper")
+        _publish(keepers, store, "exact_keeper", bid)
     elif strategy == "minhash":
         # ONE signature pass (collapse-aware, checkpointed) serves both the
         # persisted store and the pair computation -- recomputing inside
         # minhash_near_dups would double the dominant UDF cost and hold two
         # checkpointed signature copies at peak
         sigs = signatures_with_collapse(corpus, "id", "text", n_perm)
-        sigs.select("id", "sig").write.mode("overwrite").parquet(f"{store}/sigs")
+        _publish(sigs.select("id", "sig"), store, "sigs", bid)
+        if store_text:
+            _publish(corpus.select("id", "text"), store, "texts", bid)
         pairs = minhash_near_dups(
             corpus, "id", "text", threshold=threshold, n_perm=n_perm,
             bands=bands, max_bucket=max_bucket, precomputed_sigs=sigs,
@@ -104,14 +207,13 @@ def write_dedup_store(
         decisions = dedup_decisions(corpus, pairs, id_col="id")
     else:
         raise ValueError(f"unsupported incremental strategy {strategy!r}")
-    decisions.write.mode("overwrite").parquet(f"{store}/dedup_decisions")
     _write_params(store, {
         "strategy": strategy, "threshold": threshold,
         "n_perm": n_perm, "bands": bands, "max_bucket": max_bucket,
+        "store_text": bool(store_text and strategy == "minhash"),
     })
-    decisions = spark.read.parquet(f"{store}/dedup_decisions")
-    n = decisions.count()
-    kept = decisions.filter("keep").count()
+    _publish(decisions, store, "dedup_decisions", bid)  # the commit point
+    n, kept = _decision_stats(spark, store, bid)
     return {"strategy": strategy, "docs": n, "kept": kept,
             "duplicates_dropped": n - kept, "store": store}
 
@@ -120,20 +222,24 @@ def _new_minhash_edges(
     spark: SparkSession,
     store: str,
     new_corpus: DataFrame,
-    old_corpus: DataFrame,
+    old_texts: DataFrame,
     p: dict,
 ) -> tuple[DataFrame, DataFrame]:
     """(edges, new_sigs): verified near-dup edges touching the new batch --
     (new-new) pairs and (new-old) pairs with old endpoints already mapped
     to their cluster keeper, columns (src, dst) -- plus the new batch's
-    checkpointed signature table so the caller appends it to the store
-    without a second UDF pass."""
+    checkpointed signature table so the caller publishes it without a
+    second UDF pass. ``old_texts`` (id, text) is the selective-read source
+    for exact verification: the store's own texts table by default, or the
+    caller's cumulative prior corpus."""
     n_perm, bands = p["n_perm"], p["bands"]
     rows = n_perm // bands
     threshold, max_bucket = p["threshold"], p["max_bucket"]
 
     new_sigs = signatures_with_collapse(new_corpus, "id", "text", n_perm)
-    old_sigs = spark.read.parquet(f"{store}/sigs").withColumn("is_new", F.lit(False))
+    old_sigs = _read_store_table(spark, store, "sigs").withColumn(
+        "is_new", F.lit(False)
+    )
     all_sigs = new_sigs.select("id", "sig").withColumn(
         "is_new", F.lit(True)
     ).unionByName(old_sigs)
@@ -145,12 +251,13 @@ def _new_minhash_edges(
         eager=True
     )
 
-    # guard BEFORE the text join silently drops anything: old candidate
-    # endpoints must be covered by old_corpus -- callers must pass the
-    # CUMULATIVE prior corpus (every earlier batch), not just the initial
-    # one, or true near-dups of earlier increments would be kept
+    # guard BEFORE the text join silently drops anything: every candidate
+    # endpoint must have text -- always true for a store_text store (texts
+    # commit with the same batch as the sigs that produced the candidate);
+    # with a caller-supplied corpus it fails loudly when an earlier batch
+    # was not passed, rather than keeping a true near-duplicate
     texts = new_corpus.select("id", "text").unionByName(
-        old_corpus.select("id", "text")
+        old_texts.select("id", "text")
     )
     cand_ids = pairs.select(F.col("id_a").alias("id")).unionByName(
         pairs.select(F.col("id_b").alias("id"))
@@ -160,8 +267,8 @@ def _new_minhash_edges(
     if n_missing:
         sample = [r.id for r in missing.limit(5).collect()]
         raise ValueError(
-            "old_corpus does not cover every previously added batch: "
-            f"candidate endpoints without text, e.g. {sample}. Pass the "
+            "candidate endpoints without text, e.g. "
+            f"{sample}. Build the store with store_text=True, or pass the "
             "cumulative prior corpus (all earlier batches) as old_corpus."
         )
 
@@ -173,7 +280,7 @@ def _new_minhash_edges(
     ).select("id_a", "id_b")
 
     # map OLD endpoints to their cluster keeper (old decisions immutable)
-    old_map = spark.read.parquet(f"{store}/dedup_decisions").select(
+    old_map = read_decisions(spark, store).select(
         F.col("id").alias("old_id"), F.col("keeper").alias("old_keeper")
     )
     e = (
@@ -197,22 +304,27 @@ def write_embedding_store(
     n_planes: int = 16,
     n_tables: int = 2,
     max_bucket: int = 200,
+    store_embeddings: bool = True,
 ) -> dict:
     """Embedding-cosine near-dup curation of ``corpus`` (id, embedding)
     with a persisted incremental store. SRP buckets are deterministic
     (fixed hyperplane seeds), so the persisted (id, table_id, bucket) rows
     stay joinable against any later batch bucketed with the same params.
     Candidates go through the SAME cap/star machinery as the text paths
-    (lsh_candidate_pairs); verification is exact JVM cosine."""
+    (lsh_candidate_pairs); verification is exact JVM cosine.
+    ``store_embeddings=True`` (default) persists (id, emb) so later
+    ``add_embeddings`` calls verify against the store itself."""
     from ..operators.dedup import cosine_expr, with_sign_buckets
 
+    _clear_store(store)
+    bid = _new_batch_id()
     base = corpus.select("id", F.col("embedding").alias("emb"))
     bucketed = with_sign_buckets(base, "emb", n_planes, n_tables).localCheckpoint(
         eager=True
     )
-    bucketed.select("id", "table_id", "bucket").write.mode("overwrite").parquet(
-        f"{store}/emb_buckets"
-    )
+    _publish(bucketed.select("id", "table_id", "bucket"), store, "emb_buckets", bid)
+    if store_embeddings:
+        _publish(base, store, "embeddings", bid)
     bd = bucketed.select(
         "id", F.col("table_id").alias("band_id"), F.col("bucket").alias("band_hash")
     )
@@ -227,42 +339,70 @@ def write_embedding_store(
         .select("id_a", "id_b")
     )
     decisions = dedup_decisions(base, verified, id_col="id")
-    decisions.write.mode("overwrite").parquet(f"{store}/dedup_decisions")
     _write_params(store, {
         "strategy": "embedding", "threshold": threshold,
         "n_planes": n_planes, "n_tables": n_tables, "max_bucket": max_bucket,
+        "store_embeddings": bool(store_embeddings),
     })
-    decisions = spark.read.parquet(f"{store}/dedup_decisions")
-    n = decisions.count()
-    kept = decisions.filter("keep").count()
+    _publish(decisions, store, "dedup_decisions", bid)  # the commit point
+    n, kept = _decision_stats(spark, store, bid)
     return {"strategy": "embedding", "docs": n, "kept": kept,
             "duplicates_dropped": n - kept, "store": store}
+
+
+def _split_already_curated(
+    spark: SparkSession, store: str, new_corpus: DataFrame
+) -> tuple[DataFrame, int]:
+    """Retry-idempotency guard: drop incoming ids that already carry a
+    committed decision (a replayed batch, or a crash-heal rerun). Returns
+    (fresh rows, n already curated). The fresh side is checkpointed so the
+    anti-join against the store does not re-execute per downstream
+    consumer."""
+    decided = read_decisions(spark, store).select("id")
+    fresh = new_corpus.join(decided, "id", "left_anti").localCheckpoint(eager=True)
+    n_already = new_corpus.select("id").join(decided, "id", "left_semi").count()
+    return fresh, n_already
 
 
 def add_embeddings(
     spark: SparkSession,
     store: str,
     new_corpus: DataFrame,
-    old_corpus: DataFrame,
+    old_corpus: DataFrame | None = None,
 ) -> dict:
     """Incrementally curate new (id, embedding) rows against an embedding
     store: bucket the NEW batch only (same deterministic hyperplanes),
     candidates from an equi-join of new buckets against old+new buckets,
     exact cosine verification with OLD embeddings read selectively from
-    the caller-supplied CUMULATIVE prior corpus (coverage-guarded), then
-    the shared first-seen-wins cluster assignment."""
+    the store's own embeddings table (default) or a caller-supplied
+    cumulative prior corpus, then the shared first-seen-wins cluster
+    assignment. Crash-safe + retry-idempotent (see module docstring)."""
     from ..operators.dedup import cosine_expr, with_sign_buckets
 
     p = read_params(store)
     if p["strategy"] != "embedding":
         raise ValueError(f"store strategy is {p['strategy']!r}, not embedding")
-    new = new_corpus.select("id", F.col("embedding").alias("emb"))
-    old = old_corpus.select("id", F.col("embedding").alias("emb"))
+    incoming = new_corpus.select("id", F.col("embedding").alias("emb"))
+    new, n_already = _split_already_curated(spark, store, incoming)
+    if new.isEmpty():
+        return {"strategy": "embedding", "new_docs": 0, "new_kept": 0,
+                "new_duplicates_dropped": 0, "already_curated": n_already,
+                "store": store}
+    if old_corpus is not None:
+        old = old_corpus.select("id", F.col("embedding").alias("emb"))
+    else:
+        old = _read_store_table(spark, store, "embeddings")
+        if old is None:
+            raise ValueError(
+                "store has no embeddings table (built with "
+                "store_embeddings=False); pass the cumulative prior corpus "
+                "as old_corpus"
+            )
 
     new_bd = with_sign_buckets(
         new, "emb", p["n_planes"], p["n_tables"]
     ).select("id", "table_id", "bucket").localCheckpoint(eager=True)
-    old_bd = spark.read.parquet(f"{store}/emb_buckets").withColumn(
+    old_bd = _read_store_table(spark, store, "emb_buckets").withColumn(
         "is_new", F.lit(False)
     )
     bd = (
@@ -286,9 +426,9 @@ def add_embeddings(
     if missing.limit(1).count():
         sample = [r.id for r in missing.limit(5).collect()]
         raise ValueError(
-            "old_corpus does not cover every previously added batch: "
-            f"candidate endpoints without embeddings, e.g. {sample}. Pass "
-            "the cumulative prior corpus as old_corpus."
+            "candidate endpoints without embeddings, e.g. "
+            f"{sample}. Build the store with store_embeddings=True, or "
+            "pass the cumulative prior corpus as old_corpus."
         )
     verified = (
         pairs.join(embs.select(F.col("id").alias("id_a"),
@@ -298,7 +438,7 @@ def add_embeddings(
         .filter(cosine_expr(F.col("emb_a"), F.col("emb_b")) >= p["threshold"])
         .select("id_a", "id_b")
     )
-    old_map = spark.read.parquet(f"{store}/dedup_decisions").select(
+    old_map = read_decisions(spark, store).select(
         F.col("id").alias("old_id"), F.col("keeper").alias("old_keeper")
     )
     edges = (
@@ -312,12 +452,15 @@ def add_embeddings(
         .distinct()
     )
     decisions_new = _first_seen_decisions(spark, store, new.select("id"), edges)
-    new_bd.write.mode("append").parquet(f"{store}/emb_buckets")
-    decisions_new.write.mode("append").parquet(f"{store}/dedup_decisions")
-    n = decisions_new.count()
-    kept = decisions_new.filter("keep").count()
+    bid = _new_batch_id()
+    _publish(new_bd, store, "emb_buckets", bid)
+    if p.get("store_embeddings"):
+        _publish(new, store, "embeddings", bid)
+    _publish(decisions_new, store, "dedup_decisions", bid)  # the commit point
+    n, kept = _decision_stats(spark, store, bid)
     return {"strategy": "embedding", "new_docs": n, "new_kept": kept,
-            "new_duplicates_dropped": n - kept, "store": store}
+            "new_duplicates_dropped": n - kept,
+            "already_curated": n_already, "store": store}
 
 
 def _first_seen_decisions(
@@ -343,7 +486,7 @@ def _first_seen_decisions(
             "id", F.col("id").alias("keeper"), F.lit(True).alias("keep")
         ).localCheckpoint(eager=True)
     old_keepers = (
-        spark.read.parquet(f"{store}/dedup_decisions")
+        read_decisions(spark, store)
         .filter("keep")
         .select(F.col("id").alias("kid"))
     )
@@ -382,22 +525,29 @@ def add_documents(
     old_corpus: DataFrame | None = None,
 ) -> dict:
     """Incrementally curate ``new_corpus`` (id, text) against the store.
-    Appends the new decisions (and new signatures / sha keepers) to the
-    store and returns stats. ``old_corpus`` is required for the minhash
-    strategy (exact verification reads old text selectively)."""
+    Publishes the new decisions (and new signatures / sha keepers / texts)
+    as one committed batch and returns stats. With a ``store_text`` store
+    (the default build) no ``old_corpus`` is needed -- candidate
+    verification reads old text selectively from the store's own texts
+    table; passing ``old_corpus`` overrides that (the store_text=False
+    operating mode). Crash-safe + retry-idempotent (module docstring)."""
     p = read_params(store)
+    new_corpus, n_already = _split_already_curated(spark, store, new_corpus)
+    if new_corpus.isEmpty():
+        return {"strategy": p["strategy"], "new_docs": 0, "new_kept": 0,
+                "new_duplicates_dropped": 0, "already_curated": n_already,
+                "store": store}
+    bid = _new_batch_id()
 
     if p["strategy"] == "exact":
         new = new_corpus.select(
             "id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("sha")
         ).localCheckpoint(eager=True)
-        old_map = spark.read.parquet(f"{store}/exact_keeper")
+        old_map = _read_store_table(spark, store, "exact_keeper")
         hit = new.join(old_map, "sha").select(
             "id", "keeper", F.lit(False).alias("keep")
         )
         miss = new.join(old_map, "sha", "left_anti")
-        # eager: the append below writes INTO the exact_keeper dir this
-        # plan reads (the left_anti scan) -- materialize before writing
         miss_groups = (
             miss.groupBy("sha").agg(F.min("id").alias("keeper"))
             .localCheckpoint(eager=True)
@@ -406,30 +556,35 @@ def add_documents(
             "id", "keeper", (F.col("id") == F.col("keeper")).alias("keep")
         )
         decisions_new = hit.unionByName(miss_dec).localCheckpoint(eager=True)
-        miss_groups.select("sha", "keeper").write.mode("append").parquet(
-            f"{store}/exact_keeper"
-        )
+        _publish(miss_groups.select("sha", "keeper"), store, "exact_keeper", bid)
     elif p["strategy"] == "minhash":
-        if old_corpus is None:
-            raise ValueError(
-                "minhash add_documents needs old_corpus (selective text "
-                "reads for candidate verification)"
-            )
-        edges, new_sigs = _new_minhash_edges(spark, store, new_corpus, old_corpus, p)
+        if old_corpus is not None:
+            old_texts = old_corpus.select("id", "text")
+        else:
+            old_texts = _read_store_table(spark, store, "texts")
+            if old_texts is None:
+                raise ValueError(
+                    "store has no texts table (built with store_text=False); "
+                    "pass the cumulative prior corpus as old_corpus for "
+                    "selective candidate verification"
+                )
+        edges, new_sigs = _new_minhash_edges(spark, store, new_corpus, old_texts, p)
         decisions_new = _first_seen_decisions(
             spark, store, new_corpus.select("id"), edges
         )
-        new_sigs.select("id", "sig").write.mode("append").parquet(f"{store}/sigs")
+        _publish(new_sigs.select("id", "sig"), store, "sigs", bid)
+        if p.get("store_text"):
+            _publish(new_corpus.select("id", "text"), store, "texts", bid)
     else:
         raise ValueError(f"unsupported incremental strategy {p['strategy']!r}")
 
-    decisions_new.write.mode("append").parquet(f"{store}/dedup_decisions")
-    n = decisions_new.count()
-    kept = decisions_new.filter("keep").count()
+    _publish(decisions_new, store, "dedup_decisions", bid)  # the commit point
+    n, kept = _decision_stats(spark, store, bid)
     return {
         "strategy": p["strategy"],
         "new_docs": n,
         "new_kept": kept,
         "new_duplicates_dropped": n - kept,
+        "already_curated": n_already,
         "store": store,
     }

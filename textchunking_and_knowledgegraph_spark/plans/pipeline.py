@@ -95,9 +95,16 @@ def prepared_paper_source(
     )
 
 
-def build_chunks(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
+def build_chunks(
+    spark: SparkSession,
+    source,
+    cfg: PipelineConfig | None = None,
+    with_spans: bool = False,
+) -> DataFrame:
     cfg = cfg or PipelineConfig()
-    return chunk_documents(prepared_source(spark, source, cfg), overlap=cfg.overlap)
+    return chunk_documents(
+        prepared_source(spark, source, cfg), overlap=cfg.overlap, with_spans=with_spans
+    )
 
 
 def build_triples(spark: SparkSession, source, cfg: PipelineConfig | None = None) -> DataFrame:
