@@ -1782,17 +1782,22 @@ def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
     float fixpoint reduction-order-independent on both engines, so the
     hash compare is exact (same argument as tests/test_graph.py's replay,
     here promoted into the driver contract)."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # unrolled iteration references its predecessor twice (contribution join
+    # + dangling probe) -- inlined, the edge-derivation subtree expands
+    # 2^iters times and the oracle takes minutes; materialized it runs in
+    # milliseconds
     iters_sql = ""
     for t in range(1, iters + 1):
         p = t - 1
         iters_sql += f"""
-            , contrib{t} AS (
+            , contrib{t} AS MATERIALIZED (
               SELECT e.dst AS node, SUM(r.rank * e.w) AS c
               FROM w_edges e JOIN r{p} r ON e.node = r.node GROUP BY e.dst
-            ), dang{t} AS (
+            ), dang{t} AS MATERIALIZED (
               SELECT COALESCE(SUM(rank), 0.0) AS d FROM r{p}
               WHERE node NOT IN (SELECT node FROM out_deg)
-            ), r{t} AS (
+            ), r{t} AS MATERIALIZED (
               SELECT n.node,
                      ROUND((1 - {damping}) / nn.n
                            + {damping} * (COALESCE(c.c, 0.0)
@@ -1801,8 +1806,8 @@ def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
               LEFT JOIN contrib{t} c ON n.node = c.node
             )"""
     return f"""
-            , pr_e AS (SELECT subj AS src, obj AS dst FROM edges),
-            nodes AS (
+            , pr_e AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM edges),
+            nodes AS MATERIALIZED (
               -- explicit outer DISTINCT: under a WITH RECURSIVE header
               -- DuckDB runs a bare UNION between branches as UNION ALL
               SELECT DISTINCT node FROM (
@@ -1811,12 +1816,13 @@ def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
                 SELECT dst FROM pr_e
               )
             ),
-            ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-            out_deg AS (SELECT src AS node, COUNT(*) AS deg
+            ncount AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            out_deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg
                         FROM pr_e GROUP BY src),
-            w_edges AS (SELECT pr_e.src AS node, pr_e.dst, 1.0 / d.deg AS w
+            w_edges AS MATERIALIZED (SELECT pr_e.src AS node, pr_e.dst, 1.0 / d.deg AS w
                         FROM pr_e JOIN out_deg d ON pr_e.src = d.node),
-            r0 AS (SELECT node, 1.0 / (SELECT n FROM ncount) AS rank FROM nodes)
+            r0 AS MATERIALIZED (
+              SELECT node, 1.0 / (SELECT n FROM ncount) AS rank FROM nodes)
             {iters_sql}
             SELECT node, rank FROM r{iters}
     """

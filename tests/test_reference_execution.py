@@ -1,21 +1,24 @@
-"""Execute the reference's OWN LumberChunker and pin our chunker against it.
+"""Execute the reference's OWN parsers/chunker and pin our operators
+against those executions.
 
-`Parser/TextBook_LumberChunker.py:25-66` is run IN-PROCESS on the reference's
-own test document with its two non-deterministic seams stubbed determinstically
+Supply-chain boundary (r5): the reference checkout is UNTRUSTED, so its
+code no longer runs inside the pytest process. Every execution goes through
+``tests/reference_exec_harness.py`` launched as a separate `python -I`
+subprocess with a minimal environment, a hard timeout, and CPU /
+address-space rlimits -- import-time side effects are confined to a
+disposable interpreter. Additionally, a sha256 pin over every reference
+file executed ties the recorded behavioral numbers to the exact reference
+source that produced them: if the checkout changes, the pin fails loudly
+instead of the numbers silently drifting.
+
+`Parser/TextBook_LumberChunker.py:25-66` is run on the reference's own test
+document with its two non-deterministic seams stubbed deterministically
 (no reference code is modified or copied -- the module is imported from the
 read-only checkout and the seams are injected via sys.modules / instance
-attributes):
+attributes; see the harness docstrings for the exact seams).
 
-- the DeepSeek classify call (`_classify_node`, :291-309) -> the engine's
-  heading-keyword heuristic (the same `_QUESTION_TITLE_RE` our chunker uses),
-- spaCy sentence segmentation (`_split_sentences_general`, :326-343) -> the
-  engine's deterministic `split_sentences` (the documented T9 replacement),
-- `self.book_tree` (:28) is aliased to the constructor's `BookTree` (the
-  reference never assigns the lowercase name -- executing verbatim raises
-  AttributeError).
-
-What this pins (ws-insensitive canon = strip ALL whitespace; the reference
-joins sentences with "\\n", our packer with " "):
+What the chunker pin asserts (ws-insensitive canon = strip ALL whitespace;
+the reference joins sentences with "\\n", our packer with " "):
 
 1. The reference EXECUTES and its output obeys the shared length ceiling.
 2. Boundary equality where the two designs coincide: a standalone knowledge
@@ -33,11 +36,12 @@ joins sentences with "\\n", our packer with " "):
    drift; these exact counts are pinned so either side changing is loud.
 """
 
+import hashlib
+import json
 import os
-import queue
 import re
+import subprocess
 import sys
-import types
 
 import pytest
 
@@ -50,120 +54,62 @@ from textchunking_and_knowledgegraph_spark.operators.chunker import (
 
 _REF = "/root/reference"
 _TEST_MD = os.path.join(_REF, "test/test.md")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_HARNESS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "reference_exec_harness.py")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(_TEST_MD), reason="reference checkout not present"
 )
 
+# sha256 pins over every reference file the harness executes: the recorded
+# behavioral numbers below are meaningless against any OTHER source, so a
+# modified checkout fails here first, loudly
+_REF_SHA256 = {
+    "Parser/TextBook_LumberChunker.py":
+        "807993a2e783a221703cabc71917279a565a21f400c89f31863761b845e6fbed",
+    "Parser/MD_section_parser.py":
+        "8c1b662918d3861d1f73ae7346c86551fa59d2c6388ce3d36eb2a2dffbd68bed",
+    "Parser/md_paper_parser.py":
+        "91b028ab04ea01a534aaf41166f43789898492033d986256ad02df51afabc483",
+    "Parser/Chunking_TextBook_Questions.py":
+        "14cfbb94061ffbca0d56f634664ee2505cd29d0c278557e2d6187902d2d66d2a",
+    "test/test.md":
+        "f256e6fcf479cdbf52c8855710441df92592c5aa339ba20d2a0e4292ebcdb5ea",
+}
+
+
+def test_reference_sources_pinned_by_checksum():
+    for rel, want in _REF_SHA256.items():
+        with open(os.path.join(_REF, rel), "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        assert got == want, f"{rel} changed -- re-derive the execution pins"
+
+
+def _limits():
+    import resource
+
+    resource.setrlimit(resource.RLIMIT_CPU, (120, 120))
+    resource.setrlimit(resource.RLIMIT_AS, (6 << 30, 6 << 30))
+
+
+def _run_harness(mode: str, *args: str) -> dict:
+    """Run the untrusted-code harness in an isolated (-I), resource-limited
+    subprocess with a minimal environment and parse its JSON stdout."""
+    proc = subprocess.run(
+        [sys.executable, "-I", _HARNESS, _REPO, mode, *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={"PATH": os.environ.get("PATH", "/usr/bin:/bin")},
+        preexec_fn=_limits,
+    )
+    assert proc.returncode == 0, f"harness failed:\n{proc.stderr[-3000:]}"
+    return json.loads(proc.stdout)
+
 
 def _canon(s: str) -> str:
     return re.sub(r"\s+", "", s)
-
-
-def _run_reference_chunker():
-    """Import and execute the reference LumberChunker with deterministic
-    stubs; returns (flattened [(section_title, chunk_text)], md roots)."""
-    saved_modules = {
-        k: sys.modules.get(k)
-        for k in ("spacy", "openai", "Config", "Config.Settings",
-                  "EntityLinking", "EntityLinking.Entity_Linking",
-                  "Parser", "Parser.MD_section_parser",
-                  "Parser.TextBook_LumberChunker")
-    }
-    sys.path.insert(0, _REF)
-    try:
-        # spaCy -> the engine's deterministic splitter
-        class _Sent:
-            def __init__(self, t):
-                self.text = t
-
-        class _Nlp:
-            def __call__(self, text):
-                return types.SimpleNamespace(
-                    sents=[_Sent(s) for s in split_sentences(text)]
-                )
-
-        spacy = types.ModuleType("spacy")
-        spacy.load = lambda name: _Nlp()
-        sys.modules["spacy"] = spacy
-
-        # DeepSeek classify -> heading-keyword heuristic (shared regex)
-        class _Completions:
-            def create(self, model=None, messages=None, stream=False):
-                prompt = messages[-1]["content"]
-                m = re.search("你觉得“(.*)“这是个知识点的标题吗", prompt, re.DOTALL)
-                title = m.group(1) if m else ""
-                verdict = "0" if _QUESTION_TITLE_RE.search(title) else "1"
-                msg = types.SimpleNamespace(content=verdict)
-                return types.SimpleNamespace(
-                    choices=[types.SimpleNamespace(message=msg)]
-                )
-
-        class _OpenAI:
-            def __init__(self, api_key=None, base_url=None):
-                self.chat = types.SimpleNamespace(completions=_Completions())
-
-        openai = types.ModuleType("openai")
-        openai.OpenAI = _OpenAI
-        sys.modules["openai"] = openai
-
-        setting = types.SimpleNamespace(
-            Designer={"DEEPSEEK": {"API": "stub"},
-                      "Storage": {"Parser": {"Chunked_book": "/tmp"}}},
-            USER={"subject": "Math"},
-        )
-        cfg = types.ModuleType("Config")
-        cfg_settings = types.ModuleType("Config.Settings")
-        cfg_settings.setting = setting
-        cfg_settings.settings = setting
-        sys.modules["Config"] = cfg
-        sys.modules["Config.Settings"] = cfg_settings
-
-        el = types.ModuleType("EntityLinking")
-        el_mod = types.ModuleType("EntityLinking.Entity_Linking")
-        el_mod.Linking = object
-        sys.modules["EntityLinking"] = el
-        sys.modules["EntityLinking.Entity_Linking"] = el_mod
-
-        for k in ("Parser", "Parser.MD_section_parser",
-                  "Parser.TextBook_LumberChunker"):
-            sys.modules.pop(k, None)
-        from Parser.MD_section_parser import MD_parser
-        from Parser.TextBook_LumberChunker import LumberChunker
-
-        roots = MD_parser(_TEST_MD).parse_markdown_to_linked_lists()
-        lc = LumberChunker(roots, "test.md")
-        lc.book_tree = lc.BookTree  # reference bug: lowercase never assigned
-        chunked = lc.lumberchunker()
-
-        flat: list[tuple[str, str]] = []
-
-        def _walk(d):
-            for node, items in d.items():
-                for it in items:
-                    if isinstance(it, dict):
-                        _walk(it)
-                    else:
-                        flat.append((node.title, it))
-
-        for chap_struct in chunked:
-            for ch1, v in chap_struct.items():
-                for sec, lst in v["sections"].items():
-                    for d in lst:
-                        if isinstance(d, dict):
-                            _walk(d)
-                        else:
-                            flat.append((sec.title, d))
-                for c in v["content"]:
-                    flat.append((ch1.title, c))
-        return flat, roots
-    finally:
-        sys.path.remove(_REF)
-        for k, v in saved_modules.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
 
 
 def _our_chunks(text: str) -> list[tuple[str, str]]:
@@ -178,7 +124,9 @@ def _our_chunks(text: str) -> list[tuple[str, str]]:
 def test_reference_execution_pins_chunker():
     with open(_TEST_MD, encoding="utf-8") as f:
         text = f.read()
-    ref, roots = _run_reference_chunker()
+    res = _run_harness("chunker", _TEST_MD)
+    ref = [(t, c) for t, c in res["chunks"]]
+    nodes = [(t, c) for t, c in res["nodes"]]
     ours = _our_chunks(text)
 
     # 1. the reference executes; shared hard ceiling holds on both streams
@@ -188,20 +136,14 @@ def test_reference_execution_pins_chunker():
 
     # 2. standalone-comparable class: knowledge nodes in the 'OK' band are
     # emitted verbatim by the reference and must boundary-match ours 1:1
-    ok_nodes = []
-
-    def _collect(n):
-        if not _QUESTION_TITLE_RE.search(n.title) and 600 <= len(n.content) <= 800:
-            ok_nodes.append(n)
-        for c in n.children:
-            _collect(c)
-
-    for r in roots:
-        _collect(r)
+    ok_nodes = [
+        (t, c) for t, c in nodes
+        if not _QUESTION_TITLE_RE.search(t) and 600 <= len(c) <= 800
+    ]
     assert len(ok_nodes) == 1  # test.md fixture shape
     ours_canon = {_canon(c) for _, c in ours}
-    for n in ok_nodes:
-        assert _canon(n.content) in ours_canon, n.title
+    for t, c in ok_nodes:
+        assert _canon(c) in ours_canon, t
 
     # 3. whole-chunk agreement where the walks coincide
     agree = sum(1 for _, c in ref if _canon(c) in ours_canon)
@@ -217,98 +159,6 @@ def test_reference_execution_pins_chunker():
     assert len(src_sents) == 672
     assert sum(1 for s in src_sents if s in blob_ours) == 671
     assert sum(1 for s in src_sents if s in blob_ref) == 220
-
-
-def _run_reference_paper_parser(md_path: str):
-    """Import and execute the reference GENERAL_parser
-    (`Parser/md_paper_parser.py:319-410`) with deterministic stubs. Seams
-    injected (no reference code modified): Config/openai/requests/jieba/
-    sklearn module stubs; EntityLinking raises (the reference already
-    catches that and records None); the LLM-backfill iterrows loop is
-    skipped by a DataFrame subclass -- executing it verbatim crashes on the
-    reference's own `row['knowledges']` KeyError (the column is named
-    'entity'), and it only backfills LLM output anyway."""
-    import pandas as pd
-
-    saved = {
-        k: sys.modules.get(k)
-        for k in ("requests", "jieba", "sklearn", "sklearn.feature_extraction",
-                  "sklearn.feature_extraction.text", "sklearn.metrics",
-                  "sklearn.metrics.pairwise", "openai", "Config",
-                  "Config.Settings", "EntityLinking",
-                  "EntityLinking.Entity_Linking", "Parser",
-                  "Parser.md_paper_parser")
-    }
-    sys.path.insert(0, _REF)
-    try:
-        for name in ("requests", "jieba"):
-            sys.modules[name] = types.ModuleType(name)
-        sk = types.ModuleType("sklearn")
-        fe = types.ModuleType("sklearn.feature_extraction")
-        fet = types.ModuleType("sklearn.feature_extraction.text")
-        fet.TfidfVectorizer = object
-        mets = types.ModuleType("sklearn.metrics")
-        mpp = types.ModuleType("sklearn.metrics.pairwise")
-        mpp.cosine_similarity = lambda *a, **k: None
-        sys.modules.update({
-            "sklearn": sk, "sklearn.feature_extraction": fe,
-            "sklearn.feature_extraction.text": fet,
-            "sklearn.metrics": mets, "sklearn.metrics.pairwise": mpp,
-        })
-        openai = types.ModuleType("openai")
-        openai.OpenAI = lambda **k: None
-        sys.modules["openai"] = openai
-        setting = types.SimpleNamespace(
-            Designer={
-                "DIFY": {"DIFY_USER": "u", "DIFY_URL": "http://stub",
-                         "DIFY_ENG_Paper_Parser_API": "k",
-                         "DIFY_GEO_Paper_Parser_API": "k"},
-                "DEEPSEEK": {"API": "k"},
-                "Storage": {"Parser": {"Chunked_paper": "/tmp/tckg_refpaper_out"}},
-            },
-            USER={"subject": "Math"},
-        )
-        cfg = types.ModuleType("Config")
-        cs = types.ModuleType("Config.Settings")
-        cs.setting = cs.settings = setting
-        sys.modules["Config"] = cfg
-        sys.modules["Config.Settings"] = cs
-
-        el = types.ModuleType("EntityLinking")
-        elm = types.ModuleType("EntityLinking.Entity_Linking")
-
-        class _Linking:
-            def link_question_with_entity(self, q):
-                raise RuntimeError("no LLM in tests")
-
-        elm.Linking = _Linking()
-        sys.modules["EntityLinking"] = el
-        sys.modules["EntityLinking.Entity_Linking"] = elm
-
-        sys.modules.pop("Parser.md_paper_parser", None)
-        import Parser.md_paper_parser as M
-
-        class _DF(pd.DataFrame):
-            def iterrows(self):
-                return iter(())
-
-            def to_csv(self, *a, **k):
-                pass
-
-        old_pd = M.pd
-        M.pd = types.SimpleNamespace(DataFrame=_DF)
-        try:
-            df = M.PaperParser(md_path, "t.pdf").GENERAL_parser()
-        finally:
-            M.pd = old_pd
-        return list(zip(df["question_text"], df["questions"], df["analysis"]))
-    finally:
-        sys.path.remove(_REF)
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
 
 
 def _pcanon(s: str) -> str:
@@ -337,7 +187,7 @@ def test_reference_paper_parser_execution_pins_paper_operator(spark, tmp_path):
     for row in papers:
         md = tmp_path / (row.path.replace("/", "_") + ".md")
         md.write_text(row.content, encoding="utf-8")
-        ref = _run_reference_paper_parser(str(md))
+        ref = _run_harness("paper", str(md))["rows"]
         ours = ours_all[ours_all["path"] == row.path].sort_values("q_index")
         assert len(ref) == 2 and len(ours) == 3  # T7 explode accounts for +1
 
@@ -360,67 +210,6 @@ def test_reference_paper_parser_execution_pins_paper_operator(spark, tmp_path):
             assert _pcanon(o["analysis"]) in _pcanon(r_ana)
         checked += 1
     assert checked == 8
-
-
-def _run_reference_textbook_questions(md_path: str):
-    """Import and execute the reference's exercise-question chunker
-    (`Parser/Chunking_TextBook_Questions.py:20-117`) with deterministic
-    stubs: Config/requests module stubs, EntityLinking returning a constant
-    (raising would trigger the reference's `continue`, which drops EVERY
-    question), and the per-section Dify LLM call patched to a constant
-    answer/analysis pair (only the SPLITS are under test)."""
-    saved = {
-        k: sys.modules.get(k)
-        for k in ("requests", "Config", "Config.Settings", "EntityLinking",
-                  "EntityLinking.Entity_Linking", "Parser",
-                  "Parser.MD_section_parser",
-                  "Parser.Chunking_TextBook_Questions")
-    }
-    sys.path.insert(0, _REF)
-    try:
-        sys.modules["requests"] = types.ModuleType("requests")
-        setting = types.SimpleNamespace(
-            Designer={
-                "DIFY": {"DIFY_TextBook_Question_Answer": "k",
-                         "DIFY_USER": "u", "DIFY_URL": "http://stub"},
-                "Storage": {"Parser": {"Chunked_book": "/tmp/tckg_reftbq_out"}},
-            },
-            USER={"subject": "Math"},
-        )
-        cfg = types.ModuleType("Config")
-        cs = types.ModuleType("Config.Settings")
-        cs.setting = cs.settings = setting
-        sys.modules["Config"] = cfg
-        sys.modules["Config.Settings"] = cs
-        el = types.ModuleType("EntityLinking")
-        elm = types.ModuleType("EntityLinking.Entity_Linking")
-
-        class _Linking:
-            def link_question_with_entity(self, q):
-                return "stub-entity"
-
-        elm.Linking = _Linking()
-        sys.modules["EntityLinking"] = el
-        sys.modules["EntityLinking.Entity_Linking"] = elm
-
-        for k in ("Parser", "Parser.MD_section_parser",
-                  "Parser.Chunking_TextBook_Questions"):
-            sys.modules.pop(k, None)
-        from Parser.Chunking_TextBook_Questions import TextBookQuestion
-        from Parser.MD_section_parser import MD_parser
-
-        roots = MD_parser(md_path).parse_markdown_to_linked_lists()
-        tb = TextBookQuestion(roots, "b.pdf")
-        tb.Dify_structuring = lambda section: ("A", "ok")
-        df = tb.Question_Chunking()
-        return list(zip(df["Question_text"], df["Question"]))
-    finally:
-        sys.path.remove(_REF)
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
 
 
 _TB_BOOK = (
@@ -447,7 +236,7 @@ def test_reference_textbook_questions_execution_pins_operator(spark, tmp_path):
 
     md = tmp_path / "book.md"
     md.write_text(_TB_BOOK, encoding="utf-8")
-    ref = _run_reference_textbook_questions(str(md))
+    ref = _run_harness("textbook", str(md))["rows"]
     ref_real = [(t, b) for t, b in ref if _canon(t)]
     # last-node-only + empty-preamble behavior of the reference, pinned
     assert len(ref) == 2 and len(ref_real) == 1

@@ -298,24 +298,33 @@ def pagerank(
     reduction-order-sensitive in the last bits; the same stability trade
     ann.fit_ivf_centroids makes). localCheckpoint per iteration truncates
     the iterative lineage (SURVEY.md 4.2)."""
+    # materialize the slim (src, dst) projection ONCE: nodes, out-degrees,
+    # weighted edges and the per-iteration dangling probe all derive from
+    # it, and without the barrier the whole upstream plan (extraction UDFs,
+    # joins -- whatever built the edge list) re-executes per consumer per
+    # iteration (measured: 6x slower on the contract fixture)
+    e = edges.select(
+        F.col("subj").alias("node"), F.col("obj").alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("subj").alias("node"))
-        .unionByName(edges.select(F.col("obj").alias("node")))
+        e.select("node")
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy(F.col("subj").alias("node")).agg(
-        F.count("*").alias("deg")
-    )
+    out_deg = e.groupBy("node").agg(F.count("*").alias("deg"))
     # (src, dst, weight) with weight = 1/outdeg(src), reused every round
     w_edges = (
-        edges.select(F.col("subj").alias("node"), F.col("obj").alias("dst"))
-        .join(out_deg, "node")
+        e.join(out_deg, "node")
         .select("node", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .localCheckpoint(eager=True)
+    )
+    # the dangling node SET is static -- compute it once, not per round
+    dangling_nodes = nodes.join(out_deg, "node", "left_anti").localCheckpoint(
+        eager=True
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -326,7 +335,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
         )
         dangling = (
-            ranks.join(out_deg, "node", "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )

@@ -172,10 +172,13 @@ def estimate_input_splits(df: DataFrame) -> int:
     there. In-memory sources (createDataFrame fixtures) report 1, so small
     test sources always get the parallelism bump.
 
-    Contract note: the estimate reflects the SCAN, not downstream
-    repartitioning -- a caller who explicitly coalesce()/repartition()s
-    their input keeps that choice (the guard won't second-guess an
-    intentional layout the way an RDD partition-count probe would)."""
+    Contract note: the estimate reflects the SCAN only -- it cannot see a
+    coalesce()/repartition() the caller applied on top of the scan, so a
+    deliberately-laid-out FEW-FILE input still gets the small-source salt
+    bump in prepared_source (a layout/perf effect, never a correctness
+    one). Callers who need an exact partition layout preserved should set
+    ``PipelineConfig.salt_partitions`` explicitly rather than pre-shaping
+    the input DataFrame."""
     try:
         files = df.inputFiles()
     except Exception:
