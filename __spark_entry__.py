@@ -1001,6 +1001,7 @@ def mm_features(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import encode_jpeg
     from textchunking_and_knowledgegraph_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         encode_bmp,
@@ -1035,15 +1036,24 @@ def mm_features(spark, sf_dir):
             for r in pdf.to_dict("records"):
                 did, kind = int(r["doc_id"]), r["kind"]
                 if kind == "image":
-                    px = np.full(
-                        (3 + did % 7, 4 + did % 13, 3), did % 256, dtype=np.uint8
-                    )
-                    # alternate codecs over the SAME pixel formula: the
-                    # oracle recomputes decoded dims/fill from doc_id
-                    # arithmetic without decoding, so hash equality proves
-                    # BOTH the BMP and the PNG (r5: zlib+unfilter) decoders
-                    # recover exactly what was encoded
-                    payload = encode_png(px) if did % 2 == 0 else encode_bmp(px)
+                    shape = (3 + did % 7, 4 + did % 13)
+                    fill = did % 256
+                    # rotate codecs over the SAME pixel formula: the oracle
+                    # recomputes decoded dims/fill from doc_id arithmetic
+                    # without decoding, so hash equality proves the BMP,
+                    # PNG (r5: zlib+unfilter), and baseline-JPEG (r5:
+                    # Huffman+IDCT; constant grayscale at quant=1 is
+                    # integer-exact, property-tested over all 256 fills)
+                    # decoders each recover exactly what was encoded.
+                    # Image doc_ids are multiples of 3, so did % 9 walks
+                    # {0, 3, 6} -> png, bmp, jpeg.
+                    codec = did % 9
+                    if codec == 0:
+                        payload = encode_png(np.full((*shape, 3), fill, np.uint8))
+                    elif codec == 3:
+                        payload = encode_bmp(np.full((*shape, 3), fill, np.uint8))
+                    else:
+                        payload = encode_jpeg(np.full(shape, fill, np.uint8))
                 elif kind == "audio":
                     s = np.full(8 + did % 100, did % 65536 - 32768, dtype=np.int16)
                     payload = encode_wav(s)

@@ -356,3 +356,76 @@ def test_srp_dyadic_signs_exact_in_any_order():
                 sums = {sum(perm) for perm in itertools.permutations(terms)}
                 assert len(sums) == 1  # reduction order cannot matter
                 assert sum(terms) != 0.0 or True  # zero is fine: exact on both engines
+
+
+# round-5 JPEG codec (operators/jpeg.py): lossy format, so the testing
+# story is layered -- exact identity where the math guarantees it
+# (constant-fill grayscale at quant=1: all ACs analytically zero, DC path
+# integer-exact), bounded error for arbitrary content, loud rejection of
+# unsupported variants, and (in test_textfns) agreement with an
+# independent reference decoder on real camera files.
+
+def test_jpeg_constant_grayscale_exact_all_fills():
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in range(256):
+        g = _np.full((6, 11), v, _np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quant=1))
+        assert out.shape == g.shape and (out == g).all(), v
+
+
+@_settings_codec(deadline=None, max_examples=25)
+@_given_codec(
+    _hnp.arrays(
+        dtype="uint8",
+        shape=_st_codec.tuples(
+            _st_codec.integers(1, 20),
+            _st_codec.integers(1, 20),
+            _st_codec.sampled_from([1, 3]),
+        ),
+    )
+)
+def test_jpeg_roundtrip_bounded_error(img):
+    """quant=1 bounds per-coefficient rounding error at 0.5, so the spatial
+    reconstruction error is small and bounded -- gray within 3, color within
+    6 (YCbCr forward/inverse adds float rounding)."""
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    tol = 3 if img.shape[2] == 1 else 6
+    if img.shape[2] == 1:
+        img = img[:, :, 0]
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == img.shape
+    assert int(_np.abs(out.astype(int) - img.astype(int)).max()) <= tol
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(_np.zeros((4, 4), _np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8junk that is not a marker stream")
+    # flip SOF0 -> SOF2 (progressive): must reject, not misread
+    body = bytearray(good)
+    at = body.find(b"\xff\xc0")
+    assert at > 0
+    body[at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(body))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated scan

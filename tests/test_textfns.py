@@ -1,6 +1,9 @@
 """Text-analysis function tests + ANN + multimodal plumbing + streaming parity."""
 
+import os
+
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from textchunking_and_knowledgegraph_spark.functions import textfns
@@ -439,3 +442,37 @@ def test_quality_score_matches_duckdb_mirror_on_zh(spark):
     oracle = {int(d): q for d, q in
               duckdb.sql(f"SELECT doc_id, quality FROM ({sql})").fetchall()}
     assert got == oracle
+
+
+_REAL_JPEGS = [
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
+]
+
+
+@pytest.mark.skipif(
+    not all(os.path.exists(p) for p in _REAL_JPEGS),
+    reason="Spark sample images not present",
+)
+def test_jpeg_decoder_matches_imageio_on_real_files(spark):
+    """Decode REAL 4:2:0 camera JPEGs (Spark's mllib sample images) with the
+    pure-numpy baseline decoder and compare pixel-for-pixel against an
+    INDEPENDENT reference decoder -- Spark's ImageIO-backed `image` data
+    source. The JPEG spec allows small per-sample decoder variance (IDCT
+    precision, chroma upsampling kernel), so the pin is a tight error
+    envelope, not bit equality: mean |diff| < 1.0 and 99.9th percentile
+    <= 8 across every sample of both images."""
+    import numpy as np
+
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import decode_jpeg
+
+    for p in _REAL_JPEGS:
+        row = spark.read.format("image").load(p).select("image.*").first()
+        ref = np.frombuffer(row.data, np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )[:, :, ::-1]  # ImageIO emits BGR
+        ours = decode_jpeg(open(p, "rb").read())
+        assert ours.shape == ref.shape
+        d = np.abs(ours.astype(int) - ref.astype(int))
+        assert float(d.mean()) < 1.0, (p, float(d.mean()))
+        assert float(np.percentile(d, 99.9)) <= 8.0, (p, float(np.percentile(d, 99.9)))

@@ -6,13 +6,16 @@ stages. The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested.
 
 Codecs: ``real_decoder`` (the ``strict_decoder`` default) is a genuine
-pure-numpy decode for the self-containable formats -- PNG (bit depth 8,
-gray/RGB/alpha variants: stdlib zlib inflate + numpy unfiltering of all five
-scanline filters), BMP (24-bit BI_RGB) and PPM/PGM binary for images,
-RIFF/WAVE PCM (8/16-bit) for audio. No external codec library is involved.
-JPEG and VIDEO remain honestly stubbed: JPEG entropy decode and mp4 demuxing
-need codec libraries this environment doesn't have, so the strict path
-raises there and ``fake_decoder`` is the deterministic stand-in for tests.
+pure-numpy decode for the real-world image/audio formats -- PNG (bit depth
+8, gray/RGB/alpha variants: stdlib zlib inflate + numpy unfiltering of all
+five scanline filters), baseline JPEG (operators/jpeg.py: marker walk,
+tables read from the file, Huffman entropy decode, matrix IDCT, triangle
+chroma upsampling -- decodes real 4:2:0 camera JPEGs, verified against
+Spark's ImageIO-backed image reader), BMP (24-bit BI_RGB) and PPM/PGM
+binary for images, RIFF/WAVE PCM (8/16-bit) for audio. No external codec
+library is involved. Progressive JPEG and VIDEO remain honestly stubbed:
+progressive scans and mp4 demuxing are rejected loudly, and
+``fake_decoder`` is the deterministic stand-in for tests.
 """
 
 from __future__ import annotations
@@ -379,6 +382,10 @@ def real_decoder(payload: bytes, kind: str) -> dict:
     if kind == "image":
         if payload is not None and payload[:8] == _PNG_SIG:
             img = decode_png(payload)
+        elif payload is not None and payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
         elif payload is not None and payload[:2] == b"BM":
             img = decode_bmp(payload)
         else:
