@@ -591,14 +591,18 @@ def kg_chunks(spark, sf_dir):
     re-asserts in-UDF that the span slices equal the engine chunks), the
     extended table persists, and the DuckDB oracle independently RE-CUTS
     every chunk's text from its section sentence stream with substr and
-    verifies the packing contract in SQL -- first chunk at offset 0, last
-    chunk ends at the stream end, inter-chunk gaps are exactly one dropped
-    joiner space (soft boundary) or zero (hard split), every chunk is
-    <= 1000 chars and every non-final chunk >= 600. The Spark side emits
-    len_ok/cov_ok as literal TRUE; the oracle computes them from the spans,
-    so any violation hash-mismatches. The boundary DECISIONS themselves
-    (where the greedy loop cuts) stay pinned by executing the reference's
-    own chunker (tests/test_reference_execution.py)."""
+    verifies the packing contract in SQL -- the chunks tile the stream in
+    order with every skipped region (leading prefix, inter-chunk gaps --
+    the dropped joiner at soft boundaries, zero at hard splits, or a whole
+    whitespace-only slice the F7 filter removed -- and the trailing
+    remainder) whitespace-only, every chunk <= 1000 chars and every
+    non-final chunk >= 600. The Spark side emits len_ok/cov_ok as literal
+    TRUE; the oracle computes them from the spans, so any violation
+    hash-mismatches. The stream rides the first emitted chunk per section
+    (linear storage) and the oracle windows it back with first_value. The
+    boundary DECISIONS themselves (where the greedy loop cuts) stay pinned
+    by executing the reference's own chunker
+    (tests/test_reference_execution.py)."""
     from textchunking_and_knowledgegraph_spark.plans.pipeline import build_chunks
     from textchunking_and_knowledgegraph_spark.sources.io import CHUNK_SCHEMA
 
@@ -2693,6 +2697,11 @@ def oracle_sql() -> dict[str, str]:
         # split-lineage slicing oracle: chunk text independently re-cut from
         # the section sentence stream; packing contract verified in SQL
         # (see kg_chunks docstring)
+        # coverage contract: the emitted chunks tile the section sentence
+        # stream in order and every SKIPPED region (the leading prefix, the
+        # inter-chunk gaps -- a dropped joiner at soft boundaries, or a
+        # whole whitespace-only slice the F7 filter removed -- and the
+        # trailing remainder) is whitespace-only: no content is ever lost
         "kg_chunks": f"""
             WITH c AS (
               SELECT * FROM read_parquet('{_SPLIT_DIR}/kg_chunks_up/*.parquet')
@@ -2701,25 +2710,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 row_number() OVER sec AS rn,
                 count(*) OVER (PARTITION BY doc_id, sec_ord) AS n_in_sec,
-                lead(stream_start) OVER sec AS next_start
+                lead(stream_start) OVER sec AS next_start,
+                first_value(sec_stream) OVER sec AS stream
               FROM c
               WINDOW sec AS (PARTITION BY doc_id, sec_ord ORDER BY ord)
             )
             SELECT repo, path, "commit", lang, sha, doc_id, chunk_id, ord,
                    "level", parent_title, section_title, is_root,
                    section_kind, char_start, char_len,
-                   substring(sec_stream, CAST(stream_start + 1 AS INT),
+                   substring(stream, CAST(stream_start + 1 AS INT),
                              char_len) AS text,
                    (char_len BETWEEN 1 AND 1000
                     AND (rn = n_in_sec OR char_len >= 600)) AS len_ok,
-                   (CASE WHEN rn = 1 THEN stream_start = 0 ELSE TRUE END
+                   (CASE WHEN rn = 1
+                         THEN trim(substring(stream, 1,
+                                CAST(stream_start AS INT)),
+                              ' ' || chr(9) || chr(10) || chr(13)
+                                  || chr(11) || chr(12)) = ''
+                         ELSE TRUE END
                     AND CASE WHEN rn = n_in_sec
-                          THEN stream_start + char_len = length(sec_stream)
-                          ELSE (next_start - (stream_start + char_len)) IN (0, 1)
-                               AND ((next_start - (stream_start + char_len)) = 0
-                                    OR substring(sec_stream,
-                                         CAST(stream_start + char_len + 1 AS INT),
-                                         1) = ' ')
+                          THEN trim(substring(stream,
+                                 CAST(stream_start + char_len + 1 AS INT)),
+                               ' ' || chr(9) || chr(10) || chr(13)
+                                   || chr(11) || chr(12)) = ''
+                          ELSE next_start >= stream_start + char_len
+                               AND trim(substring(stream,
+                                     CAST(stream_start + char_len + 1 AS INT),
+                                     CAST(next_start - (stream_start + char_len)
+                                          AS INT)),
+                                   ' ' || chr(9) || chr(10) || chr(13)
+                                       || chr(11) || chr(12)) = ''
                         END) AS cov_ok
             FROM w
         """,

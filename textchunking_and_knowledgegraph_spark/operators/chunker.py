@@ -51,7 +51,11 @@ CHUNK_SPAN_SCHEMA = T.StructType(
     [
         T.StructField("sec_ord", T.IntegerType(), False),
         T.StructField("stream_start", T.LongType(), False),
-        T.StructField("sec_stream", T.StringType(), False),
+        # carried on the FIRST emitted chunk of each section only (linear
+        # storage; repeating it per chunk row writes stream x n_chunks
+        # bytes) -- consumers window it back with first_value() over the
+        # (doc_id, sec_ord) partition
+        T.StructField("sec_stream", T.StringType(), True),
         *CHUNK_SCHEMA.fields,
     ]
 )
@@ -321,15 +325,20 @@ def _chunk_row(row: dict, overlap: int, with_spans: bool = False) -> Iterator[di
                 )
         else:
             pieces = [(c, None) for c in chunk_text(body, code=code, overlap=overlap)]
+        emitted_in_sec = False
         for chunk, stream_start in pieces:
             if not chunk.strip():
                 continue  # F7 empty-chunk filter
             extra = (
                 {"sec_ord": sec_ord, "stream_start": stream_start,
-                 "sec_stream": stream}
+                 # stream rides the first EMITTED chunk only (linear, not
+                 # per-row); F7 may drop a whitespace-only slice, so "first
+                 # emitted" rather than "first span"
+                 "sec_stream": None if emitted_in_sec else stream}
                 if with_spans
                 else {}
             )
+            emitted_in_sec = True
             yield {
                 **extra,
                 "repo": row["repo"],

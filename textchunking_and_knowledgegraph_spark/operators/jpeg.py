@@ -300,10 +300,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / bare RSTn: standalone markers, no segment
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise ValueError("progressive JPEG not supported (baseline only)")
         if marker in (0xC9, 0xCB, 0xCD, 0xCF, 0xC8, 0xC3, 0xC5, 0xC7):

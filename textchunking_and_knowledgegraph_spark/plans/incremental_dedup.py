@@ -92,13 +92,22 @@ def _new_batch_id() -> str:
 
 
 def committed_batches(store: str) -> list[str]:
-    """Batch ids whose DECISIONS rename completed -- the commit point."""
+    """Batch ids whose DECISIONS rename completed -- the commit point.
+    A pre-v2 store (flat parquet files, no batch= dirs) is detected and
+    rejected with a migration hint rather than read as 'no decisions'."""
     d = os.path.join(store, "dedup_decisions")
     if not os.path.isdir(d):
         return []
-    return sorted(
+    bids = sorted(
         e[len("batch="):] for e in os.listdir(d) if e.startswith("batch=")
     )
+    if not bids and any(e.endswith(".parquet") for e in os.listdir(d)):
+        raise ValueError(
+            f"{store} uses the pre-batch (v1) store layout (flat parquet "
+            "under dedup_decisions/); rebuild it with write_dedup_store / "
+            "--dedup to migrate to the batch-committed layout"
+        )
+    return bids
 
 
 def _publish(df: DataFrame, store: str, table: str, batch_id: str) -> None:
@@ -149,16 +158,28 @@ def _decision_stats(spark: SparkSession, store: str, batch_id: str) -> tuple[int
     return int(row.n), int(row.kept)
 
 
+# every directory the store owns -- _clear_store must NEVER sweep anything
+# else (an --output shared with a KG build holds chunks/vertices/edges too)
+_STORE_TABLES = (
+    "dedup_decisions", "sigs", "texts", "exact_keeper",
+    "emb_buckets", "embeddings",
+)
+
+
 def _clear_store(store: str) -> None:
-    """Overwrite semantics for the write_* builders: drop any prior store
-    content (tables + params) before building fresh."""
+    """Overwrite semantics for the write_* builders: drop the store's OWN
+    tables + params before building fresh. Deliberately restricted to the
+    known table names -- a blanket subdirectory sweep would delete
+    unrelated data when the caller points --output at a directory that
+    also holds other outputs."""
     if os.path.isdir(store):
-        for e in os.listdir(store):
+        for e in _STORE_TABLES:
             p = os.path.join(store, e)
             if os.path.isdir(p):
                 shutil.rmtree(p)
-            elif e == _PARAMS:
-                os.remove(p)
+        p = os.path.join(store, _PARAMS)
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def _exact_decisions(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -360,7 +381,11 @@ def _split_already_curated(
     consumer."""
     decided = read_decisions(spark, store).select("id")
     fresh = new_corpus.join(decided, "id", "left_anti").localCheckpoint(eager=True)
-    n_already = new_corpus.select("id").join(decided, "id", "left_semi").count()
+    # one decisions scan total: fresh is already materialized, so the
+    # already-curated count is the batch size minus the survivors (a second
+    # join against the ever-growing decisions table would cost store-size
+    # work on every add)
+    n_already = new_corpus.count() - fresh.count()
     return fresh, n_already
 
 
