@@ -430,3 +430,27 @@ def test_jpeg_rejects_unsupported_variants():
         decode_jpeg(bytes(body))
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated scan
+
+
+def test_jpeg_restart_marker_roundtrip():
+    """DRI/RSTn coverage: encoding with a restart interval emits real RSTn
+    markers (byte-aligned, DC predictors reset) and the decoder's restart
+    path reconstructs the image identically to the marker-free encoding."""
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _np.random.RandomState(3)
+    px = rng.randint(0, 256, (24, 24), _np.uint8)
+    enc = encode_jpeg(px, quant=1, restart_interval=2)
+    n_rst = sum(
+        1 for i in range(len(enc) - 1)
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+    )
+    assert n_rst == 4  # 9 MCUs, a marker every 2
+    assert (decode_jpeg(enc) == decode_jpeg(encode_jpeg(px, quant=1))).all()
+    g = _np.full((20, 20), 99, _np.uint8)
+    assert (decode_jpeg(encode_jpeg(g, restart_interval=2)) == g).all()

@@ -109,10 +109,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are never byte-stuffed);
+        caller must align() first."""
+        assert self.nbits == 0
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -163,9 +172,14 @@ def _dht_segment(tc: int, th: int, bits: list[int], values: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, quant: int = 1) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quant: int = 1, restart_interval: int = 0
+) -> bytes:
     """uint8 HxW (grayscale) or HxWx3 (RGB) -> baseline JPEG, 4:4:4, with a
-    uniform quantization table of value ``quant`` (1 = near-lossless)."""
+    uniform quantization table of value ``quant`` (1 = near-lossless).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs (byte-aligned, DC predictors reset) -- exists so the decoder's
+    restart path has genuine round-trip coverage."""
     if pixels.ndim == 2:
         comps = [pixels.astype(np.float64) - 128.0]
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
@@ -194,6 +208,8 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1) -> bytes:
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -202,8 +218,14 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1) -> bytes:
 
     wtr = _BitWriter()
     preds = [0] * nc
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.align()
+                wtr.raw(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+                preds = [0] * nc
+            mcu += 1
             for ci, comp in enumerate(comps):
                 block = np.zeros((8, 8))
                 ys, xs = min(8, h - by), min(8, w - bx)
