@@ -445,8 +445,13 @@ def test_quality_score_matches_duckdb_mirror_on_zh(spark):
 
 
 _REAL_JPEGS = [
+    # baseline 4:2:0 camera photos
     "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
     "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
+    # progressive (SOF2, successive approximation) files
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
 ]
 
 
@@ -470,7 +475,8 @@ def test_jpeg_decoder_matches_imageio_on_real_files(spark):
         row = spark.read.format("image").load(p).select("image.*").first()
         ref = np.frombuffer(row.data, np.uint8).reshape(
             row.height, row.width, row.nChannels
-        )[:, :, ::-1]  # ImageIO emits BGR
+        )
+        ref = ref[:, :, ::-1] if row.nChannels == 3 else ref[:, :, 0]
         ours = decode_jpeg(open(p, "rb").read())
         assert ours.shape == ref.shape
         d = np.abs(ours.astype(int) - ref.astype(int))

@@ -8,14 +8,15 @@ shapes) is real and tested.
 Codecs: ``real_decoder`` (the ``strict_decoder`` default) is a genuine
 pure-numpy decode for the real-world image/audio formats -- PNG (bit depth
 8, gray/RGB/alpha variants: stdlib zlib inflate + numpy unfiltering of all
-five scanline filters), baseline JPEG (operators/jpeg.py: marker walk,
-tables read from the file, Huffman entropy decode, matrix IDCT, triangle
-chroma upsampling -- decodes real 4:2:0 camera JPEGs, verified against
-Spark's ImageIO-backed image reader), BMP (24-bit BI_RGB) and PPM/PGM
-binary for images, RIFF/WAVE PCM (8/16-bit) for audio. No external codec
-library is involved. Progressive JPEG and VIDEO remain honestly stubbed:
-progressive scans and mp4 demuxing are rejected loudly, and
-``fake_decoder`` is the deterministic stand-in for tests.
+five scanline filters), JPEG -- baseline AND progressive
+(operators/jpeg.py: marker walk, tables read from the file, Huffman
+entropy decode incl. the T.81 G.2 successive-approximation scans, matrix
+IDCT, triangle chroma upsampling -- decodes real 4:2:0 and progressive
+camera JPEGs, verified against Spark's ImageIO-backed image reader), BMP
+(24-bit BI_RGB) and PPM/PGM binary for images, RIFF/WAVE PCM (8/16-bit)
+for audio. No external codec library is involved. VIDEO remains honestly
+stubbed: mp4 demuxing is rejected loudly, and ``fake_decoder`` is the
+deterministic stand-in for tests.
 """
 
 from __future__ import annotations
