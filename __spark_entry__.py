@@ -1592,6 +1592,19 @@ def _walk_oracle_sql(walk_len: int = 3, n_walks: int = 2, seed: int = 42) -> str
     return sql
 
 
+# the EXACT Python str.strip() whitespace set (full Unicode -- U+3000,
+# NBSP, \x85, \x1c-\x1f, the U+2000 block, ...), embedded as a SQL string
+# literal so every oracle that mirrors a Python .strip()/.isspace() seam
+# trims the identical character set. The 6-char ASCII set silently
+# diverges on CJK corpora (U+3000 ideographic space); single-sourced here
+# so the sites can never drift apart.
+_SQL_PY_WS = (
+    "'"
+    + "".join(chr(c) for c in range(0x3001) if chr(c).isspace()).replace("'", "''")
+    + "'"
+)
+
+
 def _paper_oracle_sql() -> str:
     """DuckDB replay of operators/paper.py ``_parse_doc`` over the persisted
     prepared paper source (split lineage): the stateful per-doc scan becomes
@@ -1619,7 +1632,7 @@ def _paper_oracle_sql() -> str:
     \\x0B, RE2's does not); a bare ``\\nN.\\nM.`` empty numbered item would
     shift one split point (the sentinel consumes the lookahead's first
     whitespace char) -- absent from the fixture's bodies."""
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    ws = _SQL_PY_WS  # the exact Python str.strip() whitespace set
     hws = "[ \\t\\x0b\\f\\r]"   # horizontal whitespace (python \\s minus \\n)
     aws = "[ \\t\\n\\x0b\\f\\r]"  # python \\s, spelled out
     return f"""
@@ -2701,7 +2714,8 @@ def oracle_sql() -> dict[str, str]:
         # stream in order and every SKIPPED region (the leading prefix, the
         # inter-chunk gaps -- a dropped joiner at soft boundaries, or a
         # whole whitespace-only slice the F7 filter removed -- and the
-        # trailing remainder) is whitespace-only: no content is ever lost
+        # trailing remainder) is whitespace-only (the EXACT Python strip set,
+        # see _SQL_PY_WS): no content is ever lost
         "kg_chunks": f"""
             WITH c AS (
               SELECT * FROM read_parquet('{_SPLIT_DIR}/kg_chunks_up/*.parquet')
@@ -2725,21 +2739,18 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN rn = 1
                          THEN trim(substring(stream, 1,
                                 CAST(stream_start AS INT)),
-                              ' ' || chr(9) || chr(10) || chr(13)
-                                  || chr(11) || chr(12)) = ''
+                              {_SQL_PY_WS}) = ''
                          ELSE TRUE END
                     AND CASE WHEN rn = n_in_sec
                           THEN trim(substring(stream,
                                  CAST(stream_start + char_len + 1 AS INT)),
-                               ' ' || chr(9) || chr(10) || chr(13)
-                                   || chr(11) || chr(12)) = ''
+                               {_SQL_PY_WS}) = ''
                           ELSE next_start >= stream_start + char_len
                                AND trim(substring(stream,
                                      CAST(stream_start + char_len + 1 AS INT),
                                      CAST(next_start - (stream_start + char_len)
                                           AS INT)),
-                                   ' ' || chr(9) || chr(10) || chr(13)
-                                       || chr(11) || chr(12)) = ''
+                                   {_SQL_PY_WS}) = ''
                         END) AS cov_ok
             FROM w
         """,

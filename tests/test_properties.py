@@ -454,3 +454,50 @@ def test_jpeg_restart_marker_roundtrip():
     assert (decode_jpeg(enc) == decode_jpeg(encode_jpeg(px, quant=1))).all()
     g = _np.full((20, 20), 99, _np.uint8)
     assert (decode_jpeg(encode_jpeg(g, restart_interval=2)) == g).all()
+
+
+def test_kg_chunks_oracle_ws_set_matches_python_strip():
+    """r5 review fix: the oracle's 'skipped regions are whitespace-only'
+    trim set must be the EXACT Python str.strip() set (U+3000, NBSP, ...),
+    not the 6-char ASCII set -- and the cov_ok SQL must accept a gap left
+    by an F7-dropped whitespace-only hard-split slice."""
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _SQL_PY_WS
+
+    from textchunking_and_knowledgegraph_spark.operators.chunker import pack_spans
+
+    chars = _SQL_PY_WS[1:-1].replace("''", "'")
+    assert set(chars) == {c for c in map(chr, range(0x3001)) if c.isspace()}
+
+    # a sentence whose hard split produces a whitespace-only middle slice
+    # made of IDEOGRAPHIC SPACE -- outside the ASCII trim set
+    sent = "x" * 650 + "　" * 1000 + "y" * 650
+    stream, spans = pack_spans([sent])
+    kept = [(a, n) for a, n in spans if stream[a:a + n].strip()]
+    assert len(kept) < len(spans)  # at least one slice was all-whitespace
+
+    # replay the oracle's gap predicate over the KEPT spans
+    con = duckdb.connect()
+    rows = ", ".join(f"({a}, {n}, {i})" for i, (a, n) in enumerate(kept))
+    ok = con.execute(f"""
+        WITH s(a, n, ord) AS (VALUES {rows}),
+        w AS (SELECT *, lead(a) OVER (ORDER BY ord) AS nxt,
+                     row_number() OVER (ORDER BY ord) AS rn,
+                     count(*) OVER () AS total
+              FROM s)
+        SELECT bool_and(
+          CASE WHEN rn = 1
+               THEN trim(substring(?, 1, CAST(a AS INT)), {_SQL_PY_WS}) = ''
+               ELSE TRUE END
+          AND CASE WHEN rn = total
+                THEN trim(substring(?, CAST(a + n + 1 AS INT)), {_SQL_PY_WS}) = ''
+                ELSE nxt >= a + n
+                     AND trim(substring(?, CAST(a + n + 1 AS INT),
+                                        CAST(nxt - (a + n) AS INT)),
+                              {_SQL_PY_WS}) = ''
+              END)
+        FROM w
+    """, [stream, stream, stream]).fetchone()[0]
+    assert ok is True

@@ -284,6 +284,16 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align (discard the current byte's padding bits) and consume
+        the RSTn marker -- the shared restart-boundary sequence of the
+        baseline and progressive scan loops."""
+        self.nbits = 0
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+
 
 class _HuffTable:
     def __init__(self, bits: list[int], values: list[int]) -> None:
@@ -336,6 +346,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -445,12 +457,7 @@ def _decode_scan(payload, at, frame, sel, qtabs, huff, restart_interval):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align and consume the RSTn marker
-                rdr.nbits = 0
-                if (rdr.pos + 1 < len(rdr.data)
-                        and rdr.data[rdr.pos] == 0xFF
-                        and 0xD0 <= rdr.data[rdr.pos + 1] <= 0xD7):
-                    rdr.pos += 2
+                rdr.restart()
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dc_t, ac_t = sel[c["id"]]
@@ -535,6 +542,10 @@ def _prog_init(frame) -> list[np.ndarray]:
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(
+        c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps
+    ):
+        raise ValueError("sampling factors beyond 2 not supported")
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
     return [
@@ -637,11 +648,7 @@ def _prog_scan(
 
     def _restart():
         nonlocal eobrun
-        rdr.nbits = 0
-        if (rdr.pos + 1 < len(rdr.data)
-                and rdr.data[rdr.pos] == 0xFF
-                and 0xD0 <= rdr.data[rdr.pos + 1] <= 0xD7):
-            rdr.pos += 2
+        rdr.restart()
         eobrun = 0
         for cid in preds:
             preds[cid] = 0
@@ -721,7 +728,6 @@ def _prog_reconstruct(frame, qtabs, state) -> np.ndarray:
         arr = state[ci]
         bh, bw = arr.shape[:2]
         qt = qtabs[c["tq"]]
-        plane = np.zeros((bh * 8, bw * 8))
         # vectorized un-zigzag + dequant over all blocks of the component
         blocks = np.zeros((bh, bw, 8, 8))
         blocks[:, :, zz_r, zz_c] = arr
