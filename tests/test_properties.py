@@ -501,3 +501,45 @@ def test_kg_chunks_oracle_ws_set_matches_python_strip():
         FROM w
     """, [stream, stream, stream]).fetchone()[0]
     assert ok is True
+
+
+def test_png_palette_and_subbyte_gray_decode():
+    """Hand-built palette (PLTE + tRNS) and 2-bit grayscale PNGs decode to
+    the expected pixels -- the sub-byte bit-unpacking and palette-lookup
+    paths pinned without a reference file."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 4x2 palette image, depth 8, 3 palette entries, tRNS on entry 0
+    idx = _np.array([[0, 1, 2, 1], [2, 2, 0, 0]], _np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = b"".join(b"\x00" + r.tobytes() for r in idx)
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+           + _png_chunk(b"PLTE", plte)
+           + _png_chunk(b"tRNS", bytes([128]))
+           + _png_chunk(b"IDAT", _z.compress(scan))
+           + _png_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 4, 4)
+    assert tuple(out[0, 0]) == (255, 0, 0, 128)   # entry 0 + tRNS alpha
+    assert tuple(out[0, 2]) == (0, 0, 255, 255)   # entry 2, opaque default
+
+    # 5x1 grayscale, depth 2 (packed 4 samples/byte, MSB first): values
+    # 0,1,2,3,0 -> bytes 0b00011011, 0b00xxxxxx
+    packed = bytes([0b00011011, 0b00000000])
+    png2 = (_PNG_SIG
+            + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 5, 1, 2, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" + packed))
+            + _png_chunk(b"IEND", b""))
+    out2 = decode_png(png2)
+    assert out2.shape == (1, 5)
+    assert list(out2[0]) == [0, 85, 170, 255, 0]  # scaled by 255/(2^2-1)

@@ -482,3 +482,33 @@ def test_jpeg_decoder_matches_imageio_on_real_files(spark):
         d = np.abs(ours.astype(int) - ref.astype(int))
         assert float(d.mean()) < 1.0, (p, float(d.mean()))
         assert float(np.percentile(d, 99.9)) <= 8.0, (p, float(np.percentile(d, 99.9)))
+
+
+_REAL_PNGS = [
+    "/usr/share/doc/python3/_static/file.png",               # RGBA
+    "/usr/share/doc/nodejs/osx_installer_logo.png",          # palette + tRNS
+    "/usr/share/doc/libpng-dev/examples/pngtest.png",        # RGBA, Adam7 INTERLACED
+]
+
+
+@pytest.mark.skipif(
+    not all(os.path.exists(p) for p in _REAL_PNGS),
+    reason="sample PNGs not present",
+)
+def test_png_decoder_bitexact_vs_imageio_on_real_files(spark):
+    """PNG is lossless, so the pin is BIT EXACTNESS: decode real-world RGBA,
+    palette(+tRNS), and Adam7-interlaced files with the pure-numpy decoder
+    and require every sample equal to Spark's ImageIO-backed image reader."""
+    import numpy as np
+
+    from textchunking_and_knowledgegraph_spark.operators.multimodal import decode_png
+
+    for p in _REAL_PNGS:
+        row = spark.read.format("image").load(p).select("image.*").first()
+        ref = np.frombuffer(row.data, np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        ref = ref[:, :, [2, 1, 0, 3]] if row.nChannels == 4 else ref[:, :, ::-1]
+        ours = decode_png(open(p, "rb").read())
+        assert ours.shape == ref.shape, p
+        assert (ours == ref).all(), p

@@ -6,9 +6,11 @@ stages. The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested.
 
 Codecs: ``real_decoder`` (the ``strict_decoder`` default) is a genuine
-pure-numpy decode for the real-world image/audio formats -- PNG (bit depth
-8, gray/RGB/alpha variants: stdlib zlib inflate + numpy unfiltering of all
-five scanline filters), JPEG -- baseline AND progressive
+pure-numpy decode for the real-world image/audio formats -- PNG (gray/RGB/
+palette/alpha color types, bit depths 1-8, sequential AND Adam7
+interlaced, PLTE+tRNS lookup: stdlib zlib inflate + numpy unfiltering of
+all five scanline filters -- bit-exact against an independent reference
+decoder on real palette/interlaced files), JPEG -- baseline AND progressive
 (operators/jpeg.py: marker walk, tables read from the file, Huffman
 entropy decode incl. the T.81 G.2 successive-approximation scans, matrix
 IDCT, triangle chroma upsampling -- decodes real 4:2:0 and progressive
@@ -178,12 +180,10 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def _png_channels(color_type: int) -> int:
     try:
-        return {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        # color type 3 (palette) carries ONE index sample per pixel
+        return {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     except KeyError:
-        raise ValueError(
-            f"unsupported PNG color type {color_type} (palette/indexed "
-            "images need a PLTE decode path)"
-        ) from None
+        raise ValueError(f"unsupported PNG color type {color_type}") from None
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -246,43 +246,10 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (bit depth 8, color type gray/RGB/gray+alpha/RGBA, no interlace)
-    -> uint8 array of shape HxW / HxWx3 / HxWx2 / HxWx4. Pure stdlib zlib
-    inflate + numpy per-scanline unfiltering (all five PNG filters);
-    palette, 16-bit, and interlaced variants are rejected loudly rather
-    than misread. Ancillary chunks are skipped by walking the chunk list,
-    matching real-world files."""
-    import zlib
-
-    if payload is None or len(payload) < len(_PNG_SIG) + 12 or payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        clen = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + clen]
-        if len(body) < clen:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
-        )
-    ch = _png_channels(color_type)
-    if w <= 0 or h <= 0:
-        raise ValueError("bad PNG dimensions")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """h filtered scanlines (filter byte + stride bytes each) -> (h, stride)
+    reconstructed bytes. ``bpp`` is the filter byte distance
+    (max(1, bits_per_pixel // 8) per the spec -- 1 for sub-byte depths)."""
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
     scan = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -295,24 +262,136 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = row
         elif f == 2:  # Up
             out[y] = row + up
-        elif f == 1:  # Sub: sequential in pixels, vectorized over channels
-            acc = np.zeros(ch, np.uint8)
-            for x in range(0, stride, ch):
-                acc = row[x:x + ch] + acc
-                out[y, x:x + ch] = acc
+        elif f == 1:  # Sub: sequential in pixels, vectorized over the bpp bytes
+            acc = np.zeros(bpp, np.uint8)
+            for x in range(0, stride, bpp):
+                acc = row[x:x + bpp] + acc
+                out[y, x:x + bpp] = acc
         elif f == 3:  # Average
-            for x in range(0, stride, ch):
-                left = out[y, x - ch:x] if x else np.zeros(ch, np.uint8)
-                avg = ((left.astype(np.uint16) + up[x:x + ch]) // 2).astype(np.uint8)
-                out[y, x:x + ch] = row[x:x + ch] + avg
+            for x in range(0, stride, bpp):
+                left = out[y, x - bpp:x] if x else np.zeros(bpp, np.uint8)
+                avg = ((left.astype(np.uint16) + up[x:x + bpp]) // 2).astype(np.uint8)
+                out[y, x:x + bpp] = row[x:x + bpp] + avg
         elif f == 4:  # Paeth
-            for x in range(0, stride, ch):
-                left = out[y, x - ch:x] if x else np.zeros(ch, np.uint8)
-                upleft = up[x - ch:x] if x else np.zeros(ch, np.uint8)
-                out[y, x:x + ch] = row[x:x + ch] + _paeth(left, up[x:x + ch], upleft)
+            for x in range(0, stride, bpp):
+                left = out[y, x - bpp:x] if x else np.zeros(bpp, np.uint8)
+                upleft = up[x - bpp:x] if x else np.zeros(bpp, np.uint8)
+                out[y, x:x + bpp] = row[x:x + bpp] + _paeth(left, up[x:x + bpp], upleft)
         else:
             raise ValueError(f"bad PNG scanline filter {f}")
-    return out.reshape((h, w) if ch == 1 else (h, w, ch)).copy()
+    return out
+
+
+def _png_unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed single-sample rows -> (h, w) values for bit depth
+    1/2/4/8 (PNG packs sub-byte samples MSB-first)."""
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    vals = bits.reshape(rows.shape[0], w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)
+
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array. Supported (the real-world PNG space): color
+    types gray / RGB / palette / gray+alpha / RGBA; bit depths 1/2/4/8 for
+    gray and palette, 8 for the multi-channel types; both progressive
+    layouts -- sequential and Adam7 interlaced; PLTE lookup with optional
+    tRNS (palette images with transparency decode to RGBA). 16-bit depth
+    rejects loudly rather than being misread. Output shapes: HxW (gray),
+    HxWx2 (gray+alpha), HxWx3 (RGB / opaque palette), HxWx4 (RGBA /
+    palette+tRNS). Pure stdlib zlib + numpy; ancillary chunks are skipped
+    by walking the chunk list, matching real-world files."""
+    import zlib
+
+    if payload is None or len(payload) < len(_PNG_SIG) + 12 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    plte, trns = None, None
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("bad PNG PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    ch = _png_channels(color_type)
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    if depth not in ((1, 2, 4, 8) if color_type in (0, 3) else (8,)):
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    bits_pp = depth * ch
+    bpp = max(1, bits_pp // 8)
+
+    def _stride(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
+    def _read(sub: bytes, sw: int, sh: int) -> np.ndarray:
+        rows = _png_unfilter(sub, sh, _stride(sw), bpp)
+        if ch == 1:
+            return _png_unpack_bits(rows, sw, depth)  # (sh, sw)
+        return rows[:, : sw * ch].reshape(sh, sw, ch)
+
+    if interlace == 0:
+        samples = _read(raw, w, h)
+    else:  # Adam7: seven sub-images concatenated in the one zlib stream
+        samples = np.zeros((h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (_stride(pw) + 1)
+            samples[y0::dy, x0::dx] = _read(raw[off:off + n], pw, ph)
+            off += n
+        if off != len(raw):
+            raise ValueError("PNG interlaced scanline data size mismatch")
+
+    if color_type == 3:
+        if int(samples.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[samples]  # (h, w, 3)
+        if trns is None:
+            return np.ascontiguousarray(rgb)
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.ascontiguousarray(np.dstack([rgb, alpha[samples]]))
+    if color_type == 0 and depth < 8:
+        return (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return np.ascontiguousarray(samples) if ch > 1 else samples.copy()
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
